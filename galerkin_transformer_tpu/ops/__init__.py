@@ -1,0 +1,21 @@
+from .attention import (
+    galerkin_attention,
+    fourier_attention,
+    softmax_attention,
+    cosine_attention,
+    causal_linear_attention,
+    per_head_layer_norm,
+    per_head_instance_norm,
+)
+from .interp import bilinear_resize, interp_matrix, resolve_interp_size
+from .spectral import spectral_conv_1d, spectral_conv_2d
+from .init import diagonal_dominant_init, scaled_xavier_uniform, scaled_xavier_normal
+
+__all__ = [
+    "galerkin_attention", "fourier_attention", "softmax_attention",
+    "cosine_attention", "causal_linear_attention",
+    "per_head_layer_norm", "per_head_instance_norm",
+    "bilinear_resize", "interp_matrix", "resolve_interp_size",
+    "spectral_conv_1d", "spectral_conv_2d",
+    "diagonal_dominant_init", "scaled_xavier_uniform", "scaled_xavier_normal",
+]

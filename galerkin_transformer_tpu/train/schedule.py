@@ -1,0 +1,44 @@
+"""LR schedules.
+
+The reference trains everything with torch OneCycleLR stepping per batch
+(max_lr, div_factor=1e4, final_div_factor=1e4, pct_start 0.2/0.3, cosine
+anneal — examples/ex1_burgers.py:79-82).  optax's cosine_onecycle_schedule
+implements the same curve; this wrapper pins the reference's defaults.
+"""
+from __future__ import annotations
+
+import optax
+
+
+def onecycle_schedule(max_lr: float, total_steps: int,
+                      pct_start: float = 0.2,
+                      div_factor: float = 1e4,
+                      final_div_factor: float = 1e4):
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps,
+        peak_value=max_lr,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+def adam_onecycle(max_lr: float, total_steps: int,
+                  pct_start: float = 0.2,
+                  div_factor: float = 1e4,
+                  final_div_factor: float = 1e4,
+                  grad_clip: float = 0.999,
+                  weight_decay: float = 0.0):
+    """Adam + global-norm clip + 1cycle — the reference recipe in one chain.
+
+    Gradient clipping threshold matches train_batch_* (0.999 for Burgers,
+    0.99 for Darcy/NS — pass grad_clip accordingly).
+    """
+    sched = onecycle_schedule(max_lr, total_steps, pct_start,
+                              div_factor, final_div_factor)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, weight_decay=weight_decay)
+        if weight_decay > 0 else optax.adam(sched),
+    )
+    return tx, sched

@@ -1,0 +1,168 @@
+"""Jitted per-problem train/eval steps (reference: libs/utils_ft.py:593-711,
+libs/ns_lite.py:205-264).
+
+Each factory closes over (model, loss, optimizer) and returns
+
+  train_step(params, opt_state, batch, rng) -> (params, opt_state, losses)
+  eval_step(params, batch)                  -> metric
+
+both fully jitted with donated params/opt_state.  The whole optimization
+step — forward, Sobolev loss, backward, global-norm clip, Adam update,
+1cycle LR — is one XLA program; there is no per-batch python in the hot
+path.  The NS rollout trains through a `lax.scan` over the autoregressive
+window (BPTT through all steps in one program, ns_lite.py:205-238).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _apply_kwargs(rng):
+    return dict(deterministic=False, rngs={"dropout": rng})
+
+
+# --------------------------------------------------------------- Burgers
+
+def make_burgers_steps(model, loss_fn, metric_fn, tx,
+                       donate: bool = True):
+    def forward_loss(params, batch, rng):
+        out = model.apply({"params": params}, batch["node"], batch["edge"],
+                          batch["pos"], batch["grid"], **_apply_kwargs(rng))
+        preds = out["preds"]
+        target = batch["target"]
+        u, up = target[..., 0], target[..., 1]
+        latent = out["preds_latent"]
+        if preds.shape[-1] == 2:
+            res = loss_fn(preds[..., 0], u, preds[..., 1], up,
+                          preds_latent=latent)
+        else:
+            res = loss_fn(preds[..., 0], u, targets_prime=up,
+                          preds_latent=latent)
+        total = res.loss + res.reg + res.ortho
+        return total, res
+
+    def train_step(params, opt_state, batch, rng):
+        rng, sub = jax.random.split(rng)
+        grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+        (_, res), grads = grad_fn(params, batch, sub)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses = (res.loss + res.reg + res.ortho, res.reg, res.ortho)
+        return params, opt_state, rng, losses
+
+    def eval_step(params, batch):
+        out = model.apply({"params": params}, batch["node"], batch["edge"],
+                          batch["pos"], batch["grid"], deterministic=True)
+        u = batch["target"][..., 0]
+        res = metric_fn(out["preds"][..., 0], u)
+        return res.metric
+
+    donate_args = (0, 1) if donate else ()
+    return (jax.jit(train_step, donate_argnums=donate_args),
+            jax.jit(eval_step))
+
+
+# ----------------------------------------------------------------- Darcy
+
+def make_darcy_steps(model, loss_fn, metric_fn, tx,
+                     normalizer: Optional[Tuple] = None,
+                     donate: bool = True):
+    def forward(params, batch, rng=None):
+        kwargs = _apply_kwargs(rng) if rng is not None else dict(
+            deterministic=True)
+        out = model.apply({"params": params}, batch["node"], batch["edge"],
+                          batch["pos"], batch["grid"],
+                          normalizer=normalizer, **kwargs)
+        return out
+
+    def forward_loss(params, batch, rng):
+        out = forward(params, batch, rng)
+        preds = out["preds"]  # (B, n, n, n_targets)
+        u = batch["target"][..., 0]
+        gradu = batch["target_grad"]
+        a = batch["coeff"]
+        res = loss_fn(preds[..., 0], u, preds[..., 1:], gradu, K=a)
+        return res.loss + res.reg, res
+
+    def train_step(params, opt_state, batch, rng):
+        rng, sub = jax.random.split(rng)
+        grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+        (_, res), grads = grad_fn(params, batch, sub)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, (res.loss + res.reg, res.reg)
+
+    def eval_step(params, batch):
+        out = forward(params, batch)
+        u = batch["target"][..., 0]
+        res = metric_fn(out["preds"][..., 0], u)
+        return res.metric
+
+    donate_args = (0, 1) if donate else ()
+    return (jax.jit(train_step, donate_argnums=donate_args),
+            jax.jit(eval_step))
+
+
+# ------------------------------------------------------------------- NS
+
+def make_ns_steps(model, loss_fn, metric_fn, tx, time_steps: int = 10,
+                  donate: bool = True):
+    """Autoregressive rollout training: scan over the window, one backward
+    through all steps (ns_lite.py:205-238)."""
+
+    def rollout_loss(params, batch, rng):
+        x0 = batch["node"]             # (B, n, n, T_in)
+        pos, grid = batch["pos"], batch["grid"]
+        u, gradu = batch["target"], batch["target_grad"]
+        keys = jax.random.split(rng, time_steps)
+
+        def body(x, inp):
+            t, key = inp
+            out = model.apply({"params": params}, x, None, pos, grid,
+                              **_apply_kwargs(key))
+            u_pred = out["preds"]      # (B, n, n, 1)
+            u_t = jax.lax.dynamic_index_in_dim(u, t, axis=-1)          # (B,n,n,1)
+            gradu_t = jax.lax.dynamic_index_in_dim(gradu, t, axis=-1)  # (B,n,n,2,1)
+            res = loss_fn(u_pred[..., 0], u_t[..., 0],
+                          targets_prime=gradu_t[..., 0])
+            x = jnp.concatenate([x[..., 1:], u_pred], axis=-1)
+            return x, (res.loss + res.reg, res.reg)
+
+        _, (losses, regs) = jax.lax.scan(
+            body, x0, (jnp.arange(time_steps), keys))
+        return jnp.sum(losses), (jnp.sum(losses), jnp.sum(regs))
+
+    def train_step(params, opt_state, batch, rng):
+        rng, sub = jax.random.split(rng)
+        grad_fn = jax.value_and_grad(rollout_loss, has_aux=True)
+        (_, (loss_tot, reg_tot)), grads = grad_fn(params, batch, sub)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, (loss_tot / time_steps,
+                                        reg_tot / time_steps)
+
+    def eval_step(params, batch):
+        x0 = batch["node"]
+        pos, grid = batch["pos"], batch["grid"]
+        u = batch["target"]
+
+        def body(x, t):
+            out = model.apply({"params": params}, x, None, pos, grid,
+                              deterministic=True)
+            u_pred = out["preds"]
+            u_t = jax.lax.dynamic_index_in_dim(u, t, axis=-1)
+            res = metric_fn(u_pred[..., 0], u_t[..., 0])
+            x = jnp.concatenate([x[..., 1:], u_pred], axis=-1)
+            return x, res.metric
+
+        _, metrics = jax.lax.scan(body, x0, jnp.arange(time_steps))
+        return jnp.mean(metrics)
+
+    donate_args = (0, 1) if donate else ()
+    return (jax.jit(train_step, donate_argnums=donate_args),
+            jax.jit(eval_step))

@@ -1,0 +1,122 @@
+"""Training loop (reference: libs/utils_ft.py:714-861).
+
+`run_train` keeps the reference's contract — epoch loop, per-batch LR
+schedule (baked into the optax chain), best-val checkpointing, early
+stopping with patience, loss/lr history in a result dict pickled every
+epoch — around jitted steps produced by `train.steps` factories.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import save_checkpoint, save_pickle
+
+
+@dataclasses.dataclass
+class TrainResult:
+    best_val_epoch: int
+    best_val_metric: float
+    loss_train: np.ndarray
+    loss_val: np.ndarray
+    lr_history: np.ndarray
+    best_params: Any = None
+
+    def asdict(self):
+        return dict(best_val_epoch=self.best_val_epoch,
+                    best_val_metric=self.best_val_metric,
+                    loss_train=self.loss_train,
+                    loss_val=self.loss_val,
+                    lr_history=self.lr_history)
+
+
+def validate_epoch(eval_step: Callable, params, valid_loader) -> float:
+    metrics = [float(eval_step(params, batch)) for batch in valid_loader]
+    return float(np.mean(metrics))
+
+
+def run_train(train_step: Callable,
+              eval_step: Callable,
+              params,
+              opt_state,
+              train_loader,
+              valid_loader,
+              rng,
+              epochs: int = 10,
+              lr_schedule: Optional[Callable] = None,
+              patience: Optional[int] = 10,
+              mode: str = "min",
+              model_save_path: str = "models_ckpt",
+              model_name: str = "model.ckpt",
+              result_name: str = "result.pkl",
+              save_best: bool = True,
+              verbose: bool = True) -> tuple:
+    """Returns (best_params, final_params, opt_state, TrainResult)."""
+    if patience is None or patience == 0:
+        patience = epochs
+    best_val = -np.inf if mode == "max" else np.inf
+    best_epoch = 0
+    best_params = params
+    stop_counter = 0
+    loss_train, loss_val, lr_history = [], [], []
+    it = 0
+
+    ckpt_path = os.path.join(model_save_path, model_name)
+    result_path = os.path.join(model_save_path, result_name)
+
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        epoch_losses = []
+        for batch in train_loader:
+            params, opt_state, rng, losses = train_step(
+                params, opt_state, batch, rng)
+            epoch_losses.append([float(x) for x in losses])
+            if lr_schedule is not None:
+                lr_history.append(float(lr_schedule(it)))
+            it += 1
+        loss_mean = np.mean(np.asarray(epoch_losses), axis=0)
+        loss_train.append(loss_mean)
+
+        val_metric = validate_epoch(eval_step, params, valid_loader)
+        loss_val.append(val_metric)
+
+        improved = (val_metric > best_val if mode == "max"
+                    else val_metric < best_val)
+        if improved:
+            best_val, best_epoch, stop_counter = val_metric, epoch, 0
+            # host copy — train_step donates param buffers, so holding a
+            # device reference here would alias soon-to-be-invalid memory
+            best_params = jax.tree_util.tree_map(np.asarray, params)
+            if save_best:
+                save_checkpoint(ckpt_path, params, opt_state)
+        else:
+            stop_counter += 1
+
+        if verbose:
+            dt = time.perf_counter() - t0
+            loss_str = " | ".join(f"loss {i}: {v:.3e}"
+                                  for i, v in enumerate(loss_mean) if v > 0)
+            print(f"epoch [{epoch + 1}/{epochs}] {loss_str} "
+                  f"| val: {val_metric:.3e} "
+                  f"| best: {best_val:.3e} @ {best_epoch + 1} "
+                  f"| early stop: {stop_counter} | {dt:.1f}s", flush=True)
+
+        result = TrainResult(best_val_epoch=best_epoch,
+                             best_val_metric=best_val,
+                             loss_train=np.asarray(loss_train),
+                             loss_val=np.asarray(loss_val),
+                             lr_history=np.asarray(lr_history))
+        save_pickle(result.asdict(), result_path)
+
+        if stop_counter > patience:
+            if verbose:
+                print(f"Early stop at epoch {epoch + 1}")
+            break
+
+    result.best_params = best_params
+    return best_params, params, opt_state, result

@@ -1,0 +1,11 @@
+from .prng import get_seed, split_like
+from .timing import timer, simple_timer
+from .config import load_config, merge_config, DotDict
+from .naming import get_model_name
+from .misc import default, get_num_params
+
+__all__ = [
+    "get_seed", "split_like", "timer", "simple_timer",
+    "load_config", "merge_config", "DotDict", "get_model_name",
+    "default", "get_num_params",
+]
