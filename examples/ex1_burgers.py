@@ -1,0 +1,95 @@
+"""Example 1: viscous Burgers operator learning (reference: examples/ex1_burgers.py).
+
+Train a SimpleTransformer (fourier or galerkin encoder + spectral decoder)
+on Burgers data: .mat file if --data-path is given, otherwise exact
+synthetic Cole–Hopf solutions with the FNO benchmark's GRF setup.
+
+    python examples/ex1_burgers.py --attention-type galerkin --epochs 100
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from galerkin_transformer_tpu.data import BurgersDataset, DataLoader
+from galerkin_transformer_tpu.models import SimpleTransformer
+from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+from galerkin_transformer_tpu.train.schedule import adam_onecycle
+from galerkin_transformer_tpu.train.steps import make_burgers_steps
+from galerkin_transformer_tpu.train.trainer import run_train
+from galerkin_transformer_tpu.utils import (get_model_name, get_num_params,
+                                            get_seed, load_config,
+                                            merge_config)
+from galerkin_transformer_tpu.utils.args import get_args_1d
+from galerkin_transformer_tpu.utils.config import MODEL_PATH
+
+
+def main(argv=None):
+    args = get_args_1d(argv)
+    if not args.fast_matmul:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    key = get_seed(args.seed)
+
+    train_dataset = BurgersDataset(subsample=args.subsample,
+                                   train_data=True, train_portion=0.5,
+                                   data_path=args.data_path,
+                                   n_samples_synthetic=args.n_samples)
+    valid_dataset = BurgersDataset(subsample=args.subsample,
+                                   train_data=False, valid_portion=100,
+                                   data_path=args.data_path,
+                                   n_samples_synthetic=args.n_samples)
+    train_loader = DataLoader(train_dataset, args.batch_size, shuffle=True,
+                              drop_last=True, seed=args.seed)
+    valid_loader = DataLoader(valid_dataset, args.val_batch_size)
+
+    config = load_config("ex1_burgers")
+    config["attn_norm"] = not args.layer_norm
+    config = merge_config(config, args)
+    model = SimpleTransformer.from_config(config)
+
+    sample = next(iter(train_loader))
+    print("=" * 20, "Data loader batch", "=" * 20)
+    for k, v in sample.items():
+        print(k, "\t", v.shape)
+
+    params = model.init(key, jnp.asarray(sample["node"]), None,
+                        jnp.asarray(sample["pos"]),
+                        jnp.asarray(sample["grid"]))["params"]
+    print(f"\nModel: {config['attention_type'].capitalize()}Transformer"
+          f"\t Number of params: {get_num_params(params)}")
+
+    model_name, result_name = get_model_name(
+        model="burgers", num_encoder_layers=config["num_encoder_layers"],
+        n_hidden=config["n_hidden"], attention_type=config["attention_type"],
+        layer_norm=config["layer_norm"],
+        grid_size=int(2 ** 13 // args.subsample))
+
+    h = (1 / 2 ** 13) * args.subsample
+    total_steps = len(train_loader) * args.epochs
+    tx, sched = adam_onecycle(args.lr, total_steps, pct_start=0.2,
+                              grad_clip=0.999)
+    opt_state = tx.init(params)
+
+    loss_fn = WeightedL2Loss(regularizer=True, h=h, gamma=args.gamma)
+    metric_fn = WeightedL2Loss(regularizer=False, h=h)
+    train_step, eval_step = make_burgers_steps(model, loss_fn, metric_fn, tx)
+
+    best_params, params, opt_state, result = run_train(
+        train_step, eval_step, params, opt_state,
+        train_loader, valid_loader, jax.random.key(args.seed),
+        epochs=args.epochs, lr_schedule=sched, patience=None,
+        model_save_path=MODEL_PATH, model_name=model_name,
+        result_name=result_name)
+
+    from galerkin_transformer_tpu.train.trainer import validate_epoch
+    val = validate_epoch(eval_step, best_params, valid_loader)
+    print(f"\nBest model's validation metric: {val:.4e}")
+    return val
+
+
+if __name__ == "__main__":
+    main()

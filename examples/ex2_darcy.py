@@ -1,0 +1,112 @@
+"""Example 2: Darcy interface flow (reference: examples/ex2_darcy.py).
+
+Dual-resolution FourierTransformer2D: interp-CNN downscaler to the coarse
+attention grid, galerkin encoders, interp upsampler, SpectralConv2d decoder
+with Dirichlet BC.  Uses piececonst_r421_*.mat when paths are given,
+otherwise synthetic FD Darcy pairs (use --n-grid-fine 141 for a fast run).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from galerkin_transformer_tpu.data import DarcyDataset, DataLoader
+from galerkin_transformer_tpu.models import FourierTransformer2D
+from galerkin_transformer_tpu.train.losses import WeightedL2Loss2d
+from galerkin_transformer_tpu.train.schedule import adam_onecycle
+from galerkin_transformer_tpu.train.steps import make_darcy_steps
+from galerkin_transformer_tpu.train.trainer import run_train, validate_epoch
+from galerkin_transformer_tpu.utils import (get_model_name, get_num_params,
+                                            get_seed, load_config,
+                                            merge_config)
+from galerkin_transformer_tpu.utils.args import get_args_2d
+from galerkin_transformer_tpu.utils.config import MODEL_PATH
+
+
+def main(argv=None):
+    args = get_args_2d(argv=argv)
+    if not args.fast_matmul:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    key = get_seed(args.seed)
+
+    train_dataset = DarcyDataset(data_path=args.train_path,
+                                 subsample_attn=args.subsample_attn,
+                                 subsample_nodes=args.subsample_nodes,
+                                 n_grid_fine=args.n_grid_fine,
+                                 train_data=True, train_len=1024,
+                                 n_samples_synthetic=args.n_samples)
+    valid_dataset = DarcyDataset(data_path=args.valid_path,
+                                 normalizer_x=train_dataset.normalizer_x,
+                                 subsample_attn=args.subsample_attn,
+                                 subsample_nodes=args.subsample_nodes,
+                                 n_grid_fine=args.n_grid_fine,
+                                 train_data=False, valid_len=100,
+                                 n_samples_synthetic=max(args.n_samples // 4, 8))
+    train_loader = DataLoader(train_dataset, args.batch_size, shuffle=True,
+                              drop_last=True, seed=args.seed)
+    valid_loader = DataLoader(valid_dataset, args.val_batch_size)
+
+    n_grid = int(((args.n_grid_fine - 1) / args.subsample_nodes) + 1)
+    n_grid_c = int(((args.n_grid_fine - 1) / args.subsample_attn) + 1)
+    downsample, upsample = DarcyDataset.get_scaler_sizes(
+        n_grid, n_grid_c, scale_factor=not args.no_scale_factor)
+
+    config = load_config("ex2_darcy")
+    config["downscaler_size"] = downsample
+    config["upscaler_size"] = upsample
+    config["attn_norm"] = not args.layer_norm
+    if config["attention_type"] == "fourier" or n_grid < 211:
+        config["norm_eps"] = 1e-7
+    elif config["attention_type"] == "galerkin" and n_grid >= 211:
+        config["norm_eps"] = 1e-5
+    config = merge_config(config, args)
+    model = FourierTransformer2D.from_config(config)
+    normalizer = train_dataset.normalizer_y.as_tuple()
+
+    sample = next(iter(train_loader))
+    print("=" * 20, "Data loader batch", "=" * 20)
+    for k, v in sample.items():
+        print(k, "\t", v.shape)
+
+    params = model.init(key, jnp.asarray(sample["node"]), None,
+                        jnp.asarray(sample["pos"]),
+                        jnp.asarray(sample["grid"]))["params"]
+    print(f"\nModel: FourierTransformer2D ({config['attention_type']})"
+          f"\t Number of params: {get_num_params(params)}")
+
+    model_name, result_name = get_model_name(
+        model="darcy", num_encoder_layers=config["num_encoder_layers"],
+        n_hidden=config["n_hidden"], attention_type=config["attention_type"],
+        layer_norm=config["layer_norm"], grid_size=n_grid,
+        additional_str="32f")
+
+    lr = min(args.lr, 5e-4) if config["attention_type"] in (
+        "fourier", "softmax") else args.lr
+    h = 1 / n_grid
+    total_steps = len(train_loader) * args.epochs
+    tx, sched = adam_onecycle(lr, total_steps, pct_start=0.3, grad_clip=0.99)
+    opt_state = tx.init(params)
+
+    loss_fn = WeightedL2Loss2d(regularizer=True, h=h, gamma=args.gamma)
+    metric_fn = WeightedL2Loss2d(regularizer=False, h=h)
+    train_step, eval_step = make_darcy_steps(model, loss_fn, metric_fn, tx,
+                                             normalizer=normalizer)
+
+    best_params, params, opt_state, result = run_train(
+        train_step, eval_step, params, opt_state,
+        train_loader, valid_loader, jax.random.key(args.seed),
+        epochs=args.epochs, lr_schedule=sched, patience=None,
+        model_save_path=MODEL_PATH, model_name=model_name,
+        result_name=result_name)
+
+    val = validate_epoch(eval_step, best_params, valid_loader)
+    print(f"\nBest model's validation metric: {val:.4e}")
+    return val
+
+
+if __name__ == "__main__":
+    main()

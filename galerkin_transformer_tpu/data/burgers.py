@@ -32,6 +32,7 @@ class BurgersDataset:
                  super_resolution: int = 1,
                  data_path: str | None = None,
                  n_samples_synthetic: int = 256,
+                 synthetic_viscosity: float = 0.01,
                  return_edge: bool = False,
                  renormalization: bool = False,
                  return_distance_features: bool = True,
@@ -53,6 +54,7 @@ class BurgersDataset:
         self.smoother = smoother
         self.data_path = data_path
         self.n_samples_synthetic = n_samples_synthetic
+        self.synthetic_viscosity = synthetic_viscosity
         self.return_edge = return_edge
         self.renormalization = renormalization
         self.return_distance_features = return_distance_features
@@ -72,7 +74,8 @@ class BurgersDataset:
                 return np.asarray(data["a"]), np.asarray(data["u"])
         from .synthetic import burgers_cole_hopf
         return burgers_cole_hopf(self.n_samples_synthetic, self.n_grid_fine,
-                                 self.viscosity, seed=self.random_state)
+                                 self.synthetic_viscosity,
+                                 seed=self.random_state)
 
     def train_test_split(self, len_data: int):
         tp, vp = self.train_portion, self.valid_portion

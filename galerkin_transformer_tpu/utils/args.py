@@ -1,0 +1,68 @@
+"""CLI flag sets mirroring the reference (libs/utils_ft.py:493-590)."""
+from __future__ import annotations
+
+import argparse
+
+from .prng import SEED
+
+
+def get_args_1d(argv=None):
+    p = argparse.ArgumentParser(description="Example 1: Burgers equation")
+    p.add_argument("--subsample", type=int, default=4,
+                   help="input sampling from 8192 (default: 4 -> 2048 grid)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--val-batch-size", type=int, default=4)
+    p.add_argument("--attention-type", type=str, default="fourier",
+                   help="fourier|galerkin|linear|softmax|cosine")
+    p.add_argument("--xavier-init", type=float, default=1e-2)
+    p.add_argument("--diagonal-weight", type=float, default=1e-2)
+    p.add_argument("--ffn-dropout", type=float, default=0.0)
+    p.add_argument("--encoder-dropout", type=float, default=0.0)
+    p.add_argument("--decoder-dropout", type=float, default=0.0)
+    p.add_argument("--layer-norm", action="store_true", default=False)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--gamma", type=float, default=0.1,
+                   help="strength of the H1 gradient regularizer")
+    p.add_argument("--seed", type=int, default=SEED)
+    p.add_argument("--data-path", type=str, default=None,
+                   help=".mat file (burgers_data_R10.mat); synthetic if absent")
+    p.add_argument("--n-samples", type=int, default=2148,
+                   help="synthetic sample count when no .mat file is given")
+    p.add_argument("--fast-matmul", action="store_true", default=False,
+                   help="default TPU matmul precision (bf16 passes) instead of highest")
+    return p.parse_args(argv)
+
+
+def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
+                ffn_dropout=0.1, encoder_dropout=0.05, decoder_dropout=0.0,
+                dropout=0.0, inverse=False, argv=None):
+    desc = ("Example 3: inverse coefficient identification for Darcy flow"
+            if inverse else "Example 2: Darcy interface flow")
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--subsample-nodes", type=int, default=subsample_nodes)
+    p.add_argument("--subsample-attn", type=int, default=subsample_attn)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--val-batch-size", type=int, default=4)
+    p.add_argument("--attention-type", type=str, default="galerkin")
+    p.add_argument("--noise", type=float, default=noise)
+    p.add_argument("--xavier-init", type=float, default=1e-2)
+    p.add_argument("--diagonal-weight", type=float, default=1e-2)
+    p.add_argument("--ffn-dropout", type=float, default=ffn_dropout)
+    p.add_argument("--encoder-dropout", type=float, default=encoder_dropout)
+    p.add_argument("--dropout", type=float, default=dropout)
+    p.add_argument("--decoder-dropout", type=float, default=decoder_dropout)
+    p.add_argument("--layer-norm", action="store_true", default=False)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--gamma", type=float, default=gamma)
+    p.add_argument("--no-scale-factor", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=SEED)
+    p.add_argument("--train-path", type=str, default=None)
+    p.add_argument("--valid-path", type=str, default=None)
+    p.add_argument("--n-grid-fine", type=int, default=421,
+                   help="fine grid of the data (421 for the .mat files)")
+    p.add_argument("--n-samples", type=int, default=128,
+                   help="synthetic sample count when no .mat file is given")
+    p.add_argument("--fast-matmul", action="store_true", default=False)
+    return p.parse_args(argv)
