@@ -111,6 +111,7 @@ class SimpleAttention(nn.Module):
     norm: bool = False
     norm_type: str = "layer"
     eps: float = 1e-5
+    use_pallas: Optional[bool] = None  # None = auto (TPU + fusable config)
 
     @nn.compact
     def __call__(self, query, key, value, pos=None, mask=None, weight=None,
@@ -138,6 +139,33 @@ class SimpleAttention(nn.Module):
         q = split_heads(proj[0](query))
         k = split_heads(proj[1](key))
         v = split_heads(proj[2](value))
+
+        # fused Pallas path: galerkin + per-head LayerNorm on K,V, no mask,
+        # no softmax variant — one HBM pass for LN+concat+KᵀV
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (atype == "galerkin" and self.norm
+                          and self.norm_type == "layer" and mask is None
+                          and jax.default_backend() == "tpu")
+        if use_pallas and atype == "galerkin" and self.norm \
+                and self.norm_type == "layer":
+            from ..ops.pallas.galerkin import galerkin_attention_fused
+            sk = self.param("norm_K_scale", nn.initializers.ones, (h, d_k))
+            bk = self.param("norm_K_bias", nn.initializers.zeros, (h, d_k))
+            sv = self.param("norm_V_scale", nn.initializers.ones, (h, d_k))
+            bv = self.param("norm_V_bias", nn.initializers.zeros, (h, d_k))
+            pos_in = pos if (pos is not None and self.pos_dim > 0) else None
+            dropout_mod = nn.Dropout(self.dropout)
+            x, p_attn = galerkin_attention_fused(
+                q, k, v, pos_in, sk, bk, sv, bv, eps=self.eps,
+                interpret=jax.default_backend() != "tpu",
+                score_dropout=lambda s: dropout_mod(
+                    s, deterministic=deterministic))
+            out_dim = h * d_k if pos_in is None else h * (d_k + self.pos_dim)
+            out = x.transpose(0, 2, 1, 3).reshape(bsz, -1, out_dim)
+            if pos_in is not None:
+                out = nn.Dense(self.d_model, name="fc")(out)
+            return out, p_attn
 
         if self.norm:
             norm_fn = (A.per_head_layer_norm if self.norm_type == "layer"
@@ -241,21 +269,19 @@ class SpectralConv1d(nn.Module):
         gain = 1.0 / (self.in_dim * self.out_dim)
         std = gain * math.sqrt(2.0 / ((self.in_dim + self.out_dim) * self.modes * 2))
 
-        def cplx_init(key, shape, dtype=jnp.complex64):
-            kr, ki = jax.random.split(key)
-            shape_r = shape
-            re = jax.random.normal(kr, shape_r, jnp.float32) * std
-            im = jax.random.normal(ki, shape_r, jnp.float32) * std
-            return (re + 1j * im).astype(dtype)
-
-        w = self.param("fourier_weight", cplx_init,
-                       (self.in_dim, self.out_dim, self.modes))
+        # real-pair storage (in, out, modes, 2), the reference's layout —
+        # keeps the optimizer and the TPU backend in pure real arithmetic
+        w_pair = self.param(
+            "fourier_weight",
+            lambda key, shape: jax.random.normal(key, shape, jnp.float32) * std,
+            (self.in_dim, self.out_dim, self.modes, 2))
+        w = jax.lax.complex(w_pair[..., 0], w_pair[..., 1])
         out = S.spectral_conv_1d(x.astype(jnp.float32), w, norm=self.norm)
         out = act(out.astype(res.dtype) + res)
         if self.return_freq:
             # recompute the truncated spectrum for API parity when requested
             x_ft = jnp.fft.rfft(x.astype(jnp.float32), axis=1, norm=self.norm)
-            freq = jnp.einsum("bxi,iox->bxo", x_ft[:, : self.modes, :], w)
+            freq = S.complex_einsum("bxi,iox->bxo", x_ft[:, : self.modes, :], w)
             return out, freq
         return out
 
@@ -293,15 +319,12 @@ class SpectralConv2d(nn.Module):
         std = gain * math.sqrt(
             2.0 / ((self.in_dim + self.out_dim) * self.modes * self.modes * 2))
 
-        def cplx_init(key, shape, dtype=jnp.complex64):
-            kr, ki = jax.random.split(key)
-            re = jax.random.normal(kr, shape, jnp.float32) * std
-            im = jax.random.normal(ki, shape, jnp.float32) * std
-            return (re + 1j * im).astype(dtype)
-
-        shape = (self.in_dim, self.out_dim, self.modes, self.modes)
-        w_pos = self.param("fourier_weight_pos", cplx_init, shape)
-        w_neg = self.param("fourier_weight_neg", cplx_init, shape)
+        init = lambda key, shape: jax.random.normal(key, shape, jnp.float32) * std
+        shape = (self.in_dim, self.out_dim, self.modes, self.modes, 2)
+        w_pos_pair = self.param("fourier_weight_pos", init, shape)
+        w_neg_pair = self.param("fourier_weight_neg", init, shape)
+        w_pos = jax.lax.complex(w_pos_pair[..., 0], w_pos_pair[..., 1])
+        w_neg = jax.lax.complex(w_neg_pair[..., 0], w_neg_pair[..., 1])
         out = S.spectral_conv_2d(x.astype(jnp.float32), w_pos, w_neg,
                                  norm=self.norm)
         out = act(out.astype(res.dtype) + res)

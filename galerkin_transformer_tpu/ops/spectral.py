@@ -14,7 +14,23 @@ the rfft axis (libs/layers.py:1179-1184).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def complex_einsum(spec: str, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Complex contraction decomposed into 4 real einsums.
+
+    XLA-TPU lowers complex dot_general poorly (unimplemented on some
+    backends); real decomposition runs straight on the MXU:
+    (a+bi)(c+di) = (ac - bd) + (ad + bc)i.
+    """
+    xr, xi = jnp.real(x), jnp.imag(x)
+    wr, wi = jnp.real(w), jnp.imag(w)
+    ein = lambda a, b: jnp.einsum(spec, a, b,
+                                  preferred_element_type=jnp.float32)
+    return jax.lax.complex(ein(xr, wr) - ein(xi, wi),
+                           ein(xr, wi) + ein(xi, wr))
 
 
 def spectral_conv_1d(x: jnp.ndarray, weight: jnp.ndarray,
@@ -23,7 +39,7 @@ def spectral_conv_1d(x: jnp.ndarray, weight: jnp.ndarray,
     n = x.shape[1]
     modes = weight.shape[-1]
     x_ft = jnp.fft.rfft(x, n=n, axis=1, norm=norm)  # (B, n//2+1, C_in)
-    out_modes = jnp.einsum("bxi,iox->bxo", x_ft[:, :modes, :], weight)
+    out_modes = complex_einsum("bxi,iox->bxo", x_ft[:, :modes, :], weight)
     out_ft = jnp.zeros((x.shape[0], n // 2 + 1, weight.shape[1]),
                        dtype=out_modes.dtype)
     out_ft = out_ft.at[:, :modes, :].set(out_modes)
@@ -42,8 +58,10 @@ def spectral_conv_2d(x: jnp.ndarray, weight_pos: jnp.ndarray,
     modes = weight_pos.shape[-1]
     c_out = weight_pos.shape[1]
     x_ft = jnp.fft.rfft2(x, s=(h, w), axes=(1, 2), norm=norm)  # (B,H,W//2+1,Ci)
-    top = jnp.einsum("bxyi,ioxy->bxyo", x_ft[:, :modes, :modes, :], weight_pos)
-    bot = jnp.einsum("bxyi,ioxy->bxyo", x_ft[:, -modes:, :modes, :], weight_neg)
+    top = complex_einsum("bxyi,ioxy->bxyo", x_ft[:, :modes, :modes, :],
+                         weight_pos)
+    bot = complex_einsum("bxyi,ioxy->bxyo", x_ft[:, -modes:, :modes, :],
+                         weight_neg)
     out_ft = jnp.zeros((b, h, w // 2 + 1, c_out), dtype=top.dtype)
     out_ft = out_ft.at[:, :modes, :modes, :].set(top)
     out_ft = out_ft.at[:, -modes:, :modes, :].set(bot)

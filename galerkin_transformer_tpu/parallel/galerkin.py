@@ -1,0 +1,85 @@
+"""Sequence-parallel Galerkin attention.
+
+The Galerkin form ``out = Q (LN(K)ᵀ LN(V) / n)`` is embarrassingly
+sequence-parallel: with the sequence dim sharded over a mesh axis, each
+shard computes its local d×d partial reduction; one `psum` over the axis
+yields the global score matrix, and the output rows stay shard-local.
+Communication is O(d²) per head — independent of sequence length — versus
+ring attention's O(n·d) per step for softmax attention.  (SURVEY §2.8,
+§5 long-context plan.)
+
+Both per-head LayerNorms are shard-local (they normalize over the feature
+dim), so the full fused layer shards without any other collective.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.attention import per_head_layer_norm
+
+
+def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
+                                   value: jax.Array,
+                                   mesh: Mesh,
+                                   scale_k=None, bias_k=None,
+                                   scale_v=None, bias_v=None,
+                                   pos: Optional[jax.Array] = None,
+                                   eps: float = 1e-5,
+                                   seq_axis: str = "seq",
+                                   batch_axis: Optional[str] = "data"):
+    """Galerkin attention with the sequence dim sharded over `seq_axis`.
+
+    query/key/value: (B, H, n, d); optional per-head LN params (H, d) are
+    applied to K and V inside the shard (pre-matmul norm, reference
+    layers.py:841-867); optional pos (B, n, p) is concatenated after LN.
+
+    Returns (B, H, n, d[+p]) with the same sharding as the inputs.
+    """
+    n_shards = mesh.shape[seq_axis]
+    n_global = key.shape[-2]
+    assert n_global % n_shards == 0
+
+    bspec = batch_axis if batch_axis in mesh.axis_names else None
+    qkv_spec = P(bspec, None, seq_axis, None)
+    pos_spec = P(bspec, seq_axis, None)
+
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    args = [query, key, value]
+    if scale_k is not None:
+        in_specs += [P(None, None)] * 4
+        args += [scale_k, bias_k, scale_v, bias_v]
+    if pos is not None:
+        in_specs.append(pos_spec)
+        args.append(pos)
+
+    def inner(q, k, v, *rest):
+        rest = list(rest)
+        if scale_k is not None:
+            sk, bk, sv, bv = rest[:4]
+            rest = rest[4:]
+            k = per_head_layer_norm(k, sk, bk, eps=eps)
+            v = per_head_layer_norm(v, sv, bv, eps=eps)
+        if pos is not None:
+            p_loc = rest[0]
+            ph = jnp.broadcast_to(
+                p_loc[:, None, :, :],
+                (q.shape[0], q.shape[1], p_loc.shape[1], p_loc.shape[2]),
+            ).astype(q.dtype)
+            q = jnp.concatenate([ph, q], axis=-1)
+            k = jnp.concatenate([ph, k], axis=-1)
+            v = jnp.concatenate([ph, v], axis=-1)
+        # local d×d partial reduction, then one psum over the seq axis
+        partial_scores = jnp.matmul(jnp.swapaxes(k, -2, -1), v,
+                                    preferred_element_type=jnp.float32)
+        scores = jax.lax.psum(partial_scores, seq_axis) / n_global
+        return jnp.matmul(q, scores.astype(q.dtype),
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    return jax.shard_map(inner, mesh=mesh,
+                         in_specs=tuple(in_specs),
+                         out_specs=qkv_spec)(*args)

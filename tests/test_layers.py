@@ -116,7 +116,7 @@ def test_spectral_conv1d_lowpass():
     p = flax.core.unfreeze(params)["params"]
     p["linear"]["kernel"] = jnp.zeros_like(p["linear"]["kernel"])
     p["linear"]["bias"] = jnp.zeros_like(p["linear"]["bias"])
-    p["fourier_weight"] = jnp.ones((1, 1, 4), jnp.complex64)
+    p["fourier_weight"] = jnp.stack([jnp.ones((1, 1, 4)), jnp.zeros((1, 1, 4))], axis=-1)
     out = conv.apply({"params": p}, x)
     # manual low-pass
     xf = jnp.fft.rfft(x[..., 0], axis=1, norm="ortho")

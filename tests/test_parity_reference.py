@@ -120,7 +120,7 @@ def test_spectral_conv1d_parity():
     p["linear"]["kernel"] = ref.linear.weight.detach().numpy().T
     p["linear"]["bias"] = ref.linear.bias.detach().numpy()
     w = ref.fourier_weight.detach().numpy()  # (in, out, modes, 2)
-    p["fourier_weight"] = w[..., 0] + 1j * w[..., 1]
+    p["fourier_weight"] = w
     out = ours.apply({"params": p}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
                                rtol=1e-4, atol=1e-5)
@@ -147,8 +147,8 @@ def test_spectral_conv2d_parity():
     p["linear"]["bias"] = ref.linear.bias.detach().numpy()
     w0 = ref.fourier_weight[0].detach().numpy()
     w1 = ref.fourier_weight[1].detach().numpy()
-    p["fourier_weight_pos"] = w0[..., 0] + 1j * w0[..., 1]
-    p["fourier_weight_neg"] = w1[..., 0] + 1j * w1[..., 1]
+    p["fourier_weight_pos"] = w0
+    p["fourier_weight_neg"] = w1
     out = ours.apply({"params": p}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
                                rtol=1e-4, atol=1e-5)
