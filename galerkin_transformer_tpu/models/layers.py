@@ -259,6 +259,7 @@ class SpectralConv1d(nn.Module):
     activation: Optional[str] = "silu"
     return_freq: bool = False
     norm: str = "ortho"
+    impl: str = "dft"   # 'dft' (real MXU matmuls) or 'fft' (XLA FFT)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -276,7 +277,10 @@ class SpectralConv1d(nn.Module):
             lambda key, shape: jax.random.normal(key, shape, jnp.float32) * std,
             (self.in_dim, self.out_dim, self.modes, 2))
         w = jax.lax.complex(w_pair[..., 0], w_pair[..., 1])
-        out = S.spectral_conv_1d(x.astype(jnp.float32), w, norm=self.norm)
+        if self.impl == "dft":
+            out = S.spectral_conv_1d_dft(x.astype(jnp.float32), w)
+        else:
+            out = S.spectral_conv_1d(x.astype(jnp.float32), w, norm=self.norm)
         out = act(out.astype(res.dtype) + res)
         if self.return_freq:
             # recompute the truncated spectrum for API parity when requested
@@ -300,6 +304,7 @@ class SpectralConv2d(nn.Module):
     norm: str = "ortho"
     activation: Optional[str] = "silu"
     return_freq: bool = False
+    impl: str = "dft"   # 'dft' (real MXU matmuls) or 'fft' (XLA FFT)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -325,8 +330,11 @@ class SpectralConv2d(nn.Module):
         w_neg_pair = self.param("fourier_weight_neg", init, shape)
         w_pos = jax.lax.complex(w_pos_pair[..., 0], w_pos_pair[..., 1])
         w_neg = jax.lax.complex(w_neg_pair[..., 0], w_neg_pair[..., 1])
-        out = S.spectral_conv_2d(x.astype(jnp.float32), w_pos, w_neg,
-                                 norm=self.norm)
+        if self.impl == "dft":
+            out = S.spectral_conv_2d_dft(x.astype(jnp.float32), w_pos, w_neg)
+        else:
+            out = S.spectral_conv_2d(x.astype(jnp.float32), w_pos, w_neg,
+                                     norm=self.norm)
         out = act(out.astype(res.dtype) + res)
         if ndim == 3:
             out = out.reshape(bsz, n * n, self.out_dim)

@@ -8,7 +8,8 @@ from .attention import (
     per_head_instance_norm,
 )
 from .interp import bilinear_resize, interp_matrix, resolve_interp_size
-from .spectral import spectral_conv_1d, spectral_conv_2d
+from .spectral import (spectral_conv_1d, spectral_conv_2d, complex_einsum,
+                       spectral_conv_1d_dft, spectral_conv_2d_dft)
 from .init import diagonal_dominant_init, scaled_xavier_uniform, scaled_xavier_normal
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "cosine_attention", "causal_linear_attention",
     "per_head_layer_norm", "per_head_instance_norm",
     "bilinear_resize", "interp_matrix", "resolve_interp_size",
-    "spectral_conv_1d", "spectral_conv_2d",
+    "spectral_conv_1d", "spectral_conv_2d", "complex_einsum",
+    "spectral_conv_1d_dft", "spectral_conv_2d_dft",
     "diagonal_dominant_init", "scaled_xavier_uniform", "scaled_xavier_normal",
 ]
