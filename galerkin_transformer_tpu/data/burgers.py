@@ -83,7 +83,10 @@ class BurgersDataset:
                      else int(tp) if tp <= len_data else int(0.8 * len_data))
         valid_len = (int(vp * len_data) if vp <= 1
                      else int(vp) if vp <= len_data else int(0.1 * len_data))
-        assert train_len <= len_data - valid_len
+        if train_len > len_data - valid_len:
+            # reference warns but proceeds (ft.py:196-204)
+            print(f"warning: train len {train_len} overlaps valid len "
+                  f"{valid_len} of {len_data} samples")
         return train_len, valid_len
 
     def _initialize(self):

@@ -1,0 +1,167 @@
+"""Data pipeline tests: batch-dict protocol, splits, featurization,
+synthetic generator correctness."""
+import numpy as np
+import pytest
+
+from galerkin_transformer_tpu.data import (BurgersDataset, DarcyDataset,
+                                           DataLoader,
+                                           NavierStokesDatasetLite,
+                                           UnitGaussianNormalizer)
+
+
+def test_burgers_batch_protocol():
+    ds = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
+                        train_portion=0.8, n_samples_synthetic=16)
+    item = ds[0]
+    assert set(item) == {"node", "pos", "grid", "edge", "mass", "target"}
+    n = 512 // 8
+    assert item["node"].shape == (n, 1)
+    assert item["pos"].shape == (n, 1)
+    assert item["target"].shape == (n, 2)
+
+
+def test_burgers_head_tail_split_disjoint():
+    tr = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
+                        train_portion=0.5, n_samples_synthetic=16)
+    va = BurgersDataset(subsample=8, n_grid_fine=512, train_data=False,
+                        valid_portion=4, n_samples_synthetic=16)
+    assert len(tr) == 8 and len(va) == 4
+    # tail samples differ from head samples
+    assert not np.allclose(tr[0]["node"], va[0]["node"])
+
+
+def test_burgers_edge_features():
+    ds = BurgersDataset(subsample=8, n_grid_fine=256, train_data=True,
+                        train_portion=0.5, n_samples_synthetic=4,
+                        return_edge=True, n_krylov=2)
+    item = ds[0]
+    n = 256 // 8
+    # 2 krylov powers + 2 distance channels
+    assert item["edge"].shape == (n, n, 4)
+    assert item["mass"].shape == (n, n)
+
+
+def test_burgers_target_derivative_consistency():
+    """target[...,1] is the periodic central difference of a smooth field."""
+    ds = BurgersDataset(subsample=1, n_grid_fine=256, train_data=True,
+                        train_portion=0.5, n_samples_synthetic=4)
+    u = ds.target[0, :, 0]
+    du = ds.target[0, :, 1]
+    h = 1 / 256
+    manual = (np.roll(u, -1) - np.roll(u, 1)) / (2 * h)
+    # interior agreement (the dataset pads periodically)
+    np.testing.assert_allclose(du[1:-1], manual[1:-1], rtol=1e-3, atol=1e-2)
+
+
+def test_dataloader_shapes_and_drop_last():
+    ds = BurgersDataset(subsample=8, n_grid_fine=256, train_data=True,
+                        train_portion=0.9, n_samples_synthetic=16)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == len(ds) // 4
+    assert batches[0]["node"].shape == (4, 32, 1)
+
+
+def test_darcy_dual_resolution_protocol():
+    ds = DarcyDataset(n_grid_fine=61, subsample_nodes=2, subsample_attn=6,
+                      n_samples_synthetic=6, train_data=True, train_len=4)
+    item = ds[0]
+    n = (61 - 1) // 2 + 1
+    n_c = (61 - 1) // 6 + 1
+    assert item["node"].shape == (n, n, 1)
+    assert item["target"].shape == (n, n, 1)
+    assert item["target_grad"].shape == (n, n, 2)
+    assert item["pos"].shape == (n_c * n_c, 2)
+    assert item["grid"].shape == (n, n, 2)
+
+
+def test_darcy_normalizer_shared_with_valid():
+    tr = DarcyDataset(n_grid_fine=61, subsample_nodes=2, subsample_attn=6,
+                      n_samples_synthetic=8, train_data=True, train_len=6)
+    va = DarcyDataset(n_grid_fine=61, subsample_nodes=2, subsample_attn=6,
+                      n_samples_synthetic=8, train_data=False, valid_len=2,
+                      normalizer_x=tr.normalizer_x)
+    assert va.normalizer_x is tr.normalizer_x
+    # train nodes are standardized
+    assert abs(float(tr.node_features.mean())) < 0.1
+
+
+def test_darcy_edge_fem_features():
+    ds = DarcyDataset(n_grid_fine=25, subsample_nodes=1, subsample_attn=6,
+                      n_samples_synthetic=3, train_data=True, train_len=2,
+                      return_edge=True, n_krylov=2)
+    item = ds[0]
+    n_c = (25 - 1) // 6 + 1
+    assert item["edge"].shape == (n_c * n_c, n_c * n_c, 2)
+    assert item["mass"].shape == (n_c * n_c, n_c * n_c)
+    # FEM Laplacian rows of the normalized matrix have unit diagonal
+    lap = item["edge"][..., 0]
+    np.testing.assert_allclose(np.diag(lap), np.ones(n_c * n_c), atol=1e-5)
+
+
+def test_darcy_inverse_swaps_and_pools():
+    ds = DarcyDataset(n_grid_fine=61, subsample_nodes=2, subsample_attn=6,
+                      subsample_inverse=6, inverse_problem=True,
+                      n_samples_synthetic=4, train_data=True, train_len=3)
+    item = ds[0]
+    n_inv = (61 - 1) // 6 + 1
+    assert item["target"].shape == (n_inv, n_inv, 1)
+    assert item["grid"].shape == (n_inv, n_inv, 2)
+
+
+def test_darcy_solver_residual():
+    """Synthetic Darcy solutions satisfy -div(a grad u) = 1 in the interior."""
+    from galerkin_transformer_tpu.data.synthetic import darcy_fd
+    coeff, sol = darcy_fd(2, 33, seed=0)
+    h = 1 / 32
+    a, u = coeff[0], sol[0]
+
+    def face(a1, a2):
+        return 2 * a1 * a2 / (a1 + a2)
+    aw = face(a[1:-1, 1:-1], a[1:-1, :-2])
+    ae = face(a[1:-1, 1:-1], a[1:-1, 2:])
+    an = face(a[1:-1, 1:-1], a[:-2, 1:-1])
+    as_ = face(a[1:-1, 1:-1], a[2:, 1:-1])
+    res = (aw * (u[1:-1, 1:-1] - u[1:-1, :-2])
+           + ae * (u[1:-1, 1:-1] - u[1:-1, 2:])
+           + an * (u[1:-1, 1:-1] - u[:-2, 1:-1])
+           + as_ * (u[1:-1, 1:-1] - u[2:, 1:-1])) / h ** 2
+    np.testing.assert_allclose(res, np.ones_like(res), rtol=1e-8)
+
+
+def test_ns_dataset_protocol():
+    ds = NavierStokesDatasetLite(n_grid=32, n_samples_synthetic=2,
+                                 time_steps_input=3, time_steps_output=3)
+    item = ds[0]
+    assert item["node"].shape == (32, 32, 3)
+    assert item["target"].shape == (32, 32, 3)
+    assert item["target_grad"].shape == (32, 32, 2, 3)
+    assert item["pos"].shape == (32 * 32, 2)
+    assert item["grid"].shape == (32, 32, 2)
+
+
+def test_unit_gaussian_normalizer_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 8, 8, 1)) * 3 + 5
+    nm = UnitGaussianNormalizer()
+    z = nm.fit_transform(x)
+    assert abs(z.mean()) < 1e-6
+    np.testing.assert_allclose(nm.inverse_transform(z), x, rtol=1e-5)
+
+
+def test_burgers_cole_hopf_solves_burgers():
+    """Synthetic targets satisfy the viscous Burgers equation: compare
+    against a brute-force integrating-factor integration."""
+    from galerkin_transformer_tpu.data.synthetic import burgers_cole_hopf
+    n, nu = 256, 0.01
+    a, u = burgers_cole_hopf(2, n, viscosity=nu, seed=3)
+    k = np.fft.rfftfreq(n, 1.0 / n) * 2 * np.pi
+    u_num = a[0].copy()
+    dt = 5e-5
+    E = np.exp(-nu * k ** 2 * dt)
+    for _ in range(20000):
+        uh = np.fft.rfft(u_num)
+        adv = np.fft.rfft(-u_num * np.fft.irfft(1j * k * uh, n))
+        u_num = np.fft.irfft((uh + dt * adv) * E, n)
+    rel = np.linalg.norm(u_num - u[0]) / np.linalg.norm(u[0])
+    assert rel < 1e-3
