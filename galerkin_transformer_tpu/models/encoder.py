@@ -3,6 +3,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -164,3 +165,39 @@ class GalerkinTransformerDecoderLayer(nn.Module):
         if self.layer_norm:
             x = nn.LayerNorm(epsilon=self.norm_eps, name="norm3")(x)
         return x
+
+
+class VanillaTransformerEncoderLayer(nn.Module):
+    """Standard softmax MHA encoder block — the reference's softmax baseline
+    (`_TransformerEncoderLayer` wrapping nn.MultiheadAttention,
+    model.py:244-322; 'official' branch of FourierTransformer2D,
+    model.py:977-987).  Post-LN, ReLU FFN, optional pos concat of the raw
+    coordinates in front of the features (so d_model here is the widened
+    dim when pos is used, matching the reference's d_model+pos_dim·n_head).
+    """
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    layer_norm: bool = True
+    norm_eps: float = 1e-5
+    attn_weight: bool = False
+
+    @nn.compact
+    def __call__(self, src, pos=None, deterministic: bool = True):
+        if pos is not None:
+            src = jnp.concatenate([pos.astype(src.dtype), src], axis=-1)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, dropout_rate=self.dropout,
+            deterministic=deterministic, name="self_attn")
+        src2 = attn(src, src)
+        src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
+        if self.layer_norm:
+            src = nn.LayerNorm(epsilon=self.norm_eps, name="norm1")(src)
+        h = jax.nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(src))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        src2 = nn.Dense(src.shape[-1], name="linear2")(h)
+        src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
+        if self.layer_norm:
+            src = nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(src)
+        return src

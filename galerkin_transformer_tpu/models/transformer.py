@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..utils.misc import default
-from .encoder import SimpleTransformerEncoderLayer
+from .encoder import (SimpleTransformerEncoderLayer,
+                      VanillaTransformerEncoderLayer)
 from .graph import GAT, GCN
 from .layers import BulkRegressor, Identity
 from .regressor import PointwiseRegressor, SpectralRegressor
@@ -130,6 +131,23 @@ class SimpleTransformer(_ConfigurableModel):
             x_latent.append(res)
 
         # ---- encoder stack
+        attention_types = ("fourier", "integral", "cosine", "galerkin",
+                           "linear", "softmax", "local", "global", "causal")
+        if self.attention_type not in attention_types:
+            # softmax baseline: torch nn.TransformerEncoderLayer equivalent
+            # (reference model.py:884-891 falls back to
+            # _TransformerEncoderLayer for unknown attention types)
+            for i in range(num_encoder_layers):
+                x = VanillaTransformerEncoderLayer(
+                    d_model=self.n_hidden, nhead=self.n_head,
+                    dim_feedforward=default(self.dim_feedforward,
+                                            2 * self.n_hidden),
+                    layer_norm=self.layer_norm,
+                    dropout=default(self.encoder_dropout, 0.1),
+                    name=f"encoder_layer{i}")(x, deterministic=deterministic)
+                if self.return_latent:
+                    x_latent.append(x)
+            num_encoder_layers = 0  # skip the loop below
         for i in range(num_encoder_layers):
             layer = SimpleTransformerEncoderLayer(
                 d_model=self.n_hidden,
@@ -311,6 +329,33 @@ class FourierTransformer2D(_ConfigurableModel):
         x = nn.Dropout(dropout)(x, deterministic=deterministic)
 
         # ---- encoder stack on the coarse grid
+        if self.attention_type == "official":
+            # reference 'official' branch (model.py:977-987): raw coords
+            # concatenated per head, torch TransformerEncoderLayer of width
+            # n_hidden + n_head·pos_dim.  (The reference re-concats every
+            # layer, which breaks the reshape for >1 layers — here the
+            # widening happens once, the documented intent.)
+            d_k = self.n_hidden // self.n_head
+            xh = x.reshape(bsz, -1, self.n_head, d_k).transpose(0, 2, 1, 3)
+            ph = jnp.broadcast_to(
+                pos[:, None], (bsz, self.n_head, pos.shape[1],
+                               self.pos_dim)).astype(x.dtype)
+            xh = jnp.concatenate([ph, xh], axis=-1)
+            x = xh.transpose(0, 2, 1, 3).reshape(
+                bsz, -1, self.n_head * (d_k + self.pos_dim))
+            for i in range(num_encoder_layers):
+                x = VanillaTransformerEncoderLayer(
+                    d_model=self.n_hidden + self.pos_dim * self.n_head,
+                    nhead=self.n_head,
+                    dim_feedforward=default(self.dim_feedforward,
+                                            2 * self.n_hidden),
+                    dropout=default(self.encoder_dropout, 0.1),
+                    norm_eps=default(self.norm_eps, 1e-5),
+                    name=f"encoder_layer{i}")(x, deterministic=deterministic)
+                if self.return_latent:
+                    x_latent.append(x)
+            x = nn.Dense(self.n_hidden, name="official_proj")(x)
+            num_encoder_layers = 0
         for i in range(num_encoder_layers):
             layer = SimpleTransformerEncoderLayer(
                 d_model=self.n_hidden,
