@@ -227,16 +227,40 @@ class DarcyDataset:
     def get_edge(self, a):
         """Per-sample P1-FEM featurization on the coarse grid (ft.py:729-786).
 
-        Vectorized assembly (ops.fem.assemble_p1) instead of the reference's
-        9× python-loop CSR additions.
+        Uses the native C++ batched assembler (ops.fem_native, threaded,
+        plan built once per mesh) when available, the vectorized scipy path
+        otherwise — both exact-equivalent to the reference's 9× python-loop
+        CSR additions.
         """
         nodes, elems = self.pos, self.elem
         ks = self.subsample_attn // self.subsample_nodes
         a_coarse = fem.pooling_2d(a, kernel_size=(ks, ks), padding=True)
+        k_elem = a_coarse.reshape(len(a), -1)[:, elems].mean(axis=2)
+
+        native = None
+        if not self.renormalization:
+            try:
+                from ..ops.fem_native import FemPlan, available
+                if available():
+                    native = FemPlan(nodes, elems)
+            except Exception:
+                native = None
+
         edges, mass = [], []
+        if native is not None:
+            a_list, lap_n, m = native.assemble_batch(k_elem, normalize=True)
+            laps_shared = fem.krylov_powers(lap_n, self.n_krylov)
+            for i in range(len(a)):
+                if self.return_lap_only:
+                    edges.append(laps_shared)
+                else:
+                    edges.append(fem.krylov_powers(a_list[i], self.n_krylov)
+                                 + laps_shared)
+                mass.append(m)
+            return edges, mass
+
         for i in range(len(a)):
-            k_elem = a_coarse[i].reshape(-1)[elems].mean(axis=1)
-            A, lap, m = fem.assemble_p1(nodes, elems, k_elem)
+            A, lap, m = fem.assemble_p1(nodes, elems, k_elem[i])
             w = (np.asarray(m.sum(axis=-1)).ravel() * self.n_grid ** 2
                  if self.renormalization else None)
             A = fem.normalize_matrix(A, w)
