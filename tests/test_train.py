@@ -1,0 +1,159 @@
+"""Trainer tests: schedule parity, checkpoint roundtrip, tiny convergence."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galerkin_transformer_tpu.train.schedule import adam_onecycle, onecycle_schedule
+
+
+def test_onecycle_matches_torch():
+    """Our schedule == torch OneCycleLR (cos anneal) at every step."""
+    torch = pytest.importorskip("torch")
+    from torch.optim.lr_scheduler import OneCycleLR
+
+    total, max_lr = 200, 1e-3
+    sched = onecycle_schedule(max_lr, total, pct_start=0.2,
+                              div_factor=1e4, final_div_factor=1e4)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=max_lr)
+    tsched = OneCycleLR(opt, max_lr=max_lr, div_factor=1e4,
+                        final_div_factor=1e4, pct_start=0.2,
+                        total_steps=total)
+    ours, theirs = [], []
+    for step in range(total):
+        ours.append(float(sched(step)))
+        theirs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        tsched.step()
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    # torch anneals over total-1 steps, optax over total: the curves agree
+    # up to a one-step shift (immaterial over 10k+ training steps).
+    shifted = np.interp(np.arange(total) * (total - 1) / total,
+                        np.arange(total), theirs)
+    np.testing.assert_allclose(ours, shifted, rtol=5e-2, atol=1e-8)
+    assert abs(ours[0] - max_lr / 1e4) < 1e-9          # warmup start
+    assert abs(ours.max() - max_lr) < 1e-7             # peak value
+    assert np.argmax(ours) in (39, 40, 41)             # peak position
+    assert float(sched(total)) < 2e-11                 # final value
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from galerkin_transformer_tpu.train.checkpoint import (load_checkpoint,
+                                                           save_checkpoint)
+    params = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 3))}}
+    path = str(tmp_path / "ckpt.bin")
+    save_checkpoint(path, params)
+    template = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = load_checkpoint(path, template)
+    np.testing.assert_allclose(restored["a"], params["a"])
+    np.testing.assert_allclose(restored["b"]["c"], params["b"]["c"])
+
+
+def test_burgers_training_learns(tmp_path):
+    """Tiny end-to-end run: loss decreases, run_train checkpoints, early
+    stopping bookkeeping works."""
+    from galerkin_transformer_tpu.data import BurgersDataset, DataLoader
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+    from galerkin_transformer_tpu.train.steps import make_burgers_steps
+    from galerkin_transformer_tpu.train.trainer import run_train
+    from galerkin_transformer_tpu.utils import load_config
+
+    tr = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
+                        train_portion=0.75, n_samples_synthetic=32)
+    va = BurgersDataset(subsample=8, n_grid_fine=512, train_data=False,
+                        valid_portion=0.25, n_samples_synthetic=32)
+    tl = DataLoader(tr, 8, shuffle=True, drop_last=True)
+    vl = DataLoader(va, 8)
+
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    model = SimpleTransformer.from_config(cfg)
+    b = next(iter(tl))
+    params = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
+                        jnp.asarray(b["pos"]), jnp.asarray(b["grid"]))["params"]
+    h = 8 / 512
+    epochs = 8
+    tx, sched = adam_onecycle(1e-3, total_steps=len(tl) * epochs,
+                              grad_clip=0.999)
+    opt_state = tx.init(params)
+    train_step, eval_step = make_burgers_steps(
+        model, WeightedL2Loss(regularizer=True, h=h, gamma=0.1),
+        WeightedL2Loss(regularizer=False, h=h), tx)
+
+    best_params, params, opt_state, result = run_train(
+        train_step, eval_step, params, opt_state, tl, vl,
+        jax.random.key(0), epochs=epochs, lr_schedule=sched,
+        model_save_path=str(tmp_path), verbose=False)
+
+    assert result.loss_val[-1] < result.loss_val[0]
+    assert os.path.exists(os.path.join(str(tmp_path), "model.ckpt"))
+    assert result.best_val_metric == min(result.loss_val)
+
+
+def test_ns_rollout_step_runs():
+    from galerkin_transformer_tpu.data import (DataLoader,
+                                               NavierStokesDatasetLite)
+    from galerkin_transformer_tpu.models import FourierTransformer2DLite
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss2d
+    from galerkin_transformer_tpu.train.steps import make_ns_steps
+    from galerkin_transformer_tpu.utils import load_config
+
+    ds = NavierStokesDatasetLite(n_grid=16, n_samples_synthetic=4,
+                                 time_steps_input=3, time_steps_output=3)
+    dl = DataLoader(ds, 2, drop_last=True)
+    cfg = load_config("ex4_navier_stokes")
+    cfg.update(n_hidden=16, num_encoder_layers=1, dim_feedforward=32,
+               freq_dim=8, fourier_modes=4, node_feats=5)
+    model = FourierTransformer2DLite.from_config(cfg)
+    b = next(iter(dl))
+    params = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
+                        jnp.asarray(b["pos"]), jnp.asarray(b["grid"]))["params"]
+    tx, _ = adam_onecycle(1e-3, 10, grad_clip=0.99)
+    opt_state = tx.init(params)
+    h = 1 / 16
+    train_step, eval_step = make_ns_steps(
+        model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.1),
+        WeightedL2Loss2d(regularizer=False, h=h), tx, time_steps=3)
+    params, opt_state, rng, losses = train_step(params, opt_state, b,
+                                                jax.random.key(0))
+    assert np.isfinite(float(losses[0]))
+    m = eval_step(params, b)
+    assert np.isfinite(float(m))
+
+
+def test_darcy_step_runs():
+    from galerkin_transformer_tpu.data import DarcyDataset, DataLoader
+    from galerkin_transformer_tpu.models import FourierTransformer2D
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss2d
+    from galerkin_transformer_tpu.train.steps import make_darcy_steps
+    from galerkin_transformer_tpu.utils import load_config
+
+    ds = DarcyDataset(n_grid_fine=61, subsample_nodes=2, subsample_attn=6,
+                      n_samples_synthetic=4, train_data=True, train_len=4)
+    dl = DataLoader(ds, 2, drop_last=True)
+    n_f, n_c = 31, 11
+    down, up = DarcyDataset.get_scaler_sizes(n_f, n_c, scale_factor=False)
+    cfg = load_config("ex2_darcy")
+    cfg.update(n_hidden=16, num_encoder_layers=1, n_head=2,
+               dim_feedforward=32, freq_dim=8, fourier_modes=4)
+    model = FourierTransformer2D.from_config(cfg, downscaler_size=down,
+                                             upscaler_size=up)
+    b = next(iter(dl))
+    params = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
+                        jnp.asarray(b["pos"]), jnp.asarray(b["grid"]))["params"]
+    tx, _ = adam_onecycle(1e-3, 10, grad_clip=0.99)
+    opt_state = tx.init(params)
+    train_step, eval_step = make_darcy_steps(
+        model, WeightedL2Loss2d(regularizer=True, h=1 / n_f, gamma=0.5),
+        WeightedL2Loss2d(regularizer=False, h=1 / n_f), tx,
+        normalizer=ds.normalizer_y.as_tuple())
+    params, opt_state, rng, losses = train_step(params, opt_state, b,
+                                                jax.random.key(0))
+    assert np.isfinite(float(losses[0]))
+    assert np.isfinite(float(eval_step(params, b)))
