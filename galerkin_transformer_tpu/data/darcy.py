@@ -81,9 +81,23 @@ class DarcyDataset:
             with timer(f"Loading {os.path.basename(self.data_path)}"):
                 data = loadmat(self.data_path)
                 return np.asarray(data["coeff"]), np.asarray(data["sol"])
+        from ..utils.config import DATA_PATH
         from .synthetic import darcy_fd
         seed = self.random_state + (0 if self.train_data else 7)
-        return darcy_fd(self.n_samples_synthetic, self.n_grid_fine, seed=seed)
+        cache = os.path.join(
+            DATA_PATH, f"darcy_synth_n{self.n_grid_fine}"
+            f"_s{self.n_samples_synthetic}_seed{seed}.npz")
+        if os.path.exists(cache):
+            with np.load(cache) as z:
+                return z["coeff"], z["sol"]
+        coeff, sol = darcy_fd(self.n_samples_synthetic, self.n_grid_fine,
+                              seed=seed)
+        try:
+            os.makedirs(DATA_PATH, exist_ok=True)
+            np.savez_compressed(cache, coeff=coeff, sol=sol)
+        except OSError:
+            pass
+        return coeff, sol
 
     def get_data_len(self, len_data: int) -> int:
         ln = self.train_len if self.train_data else self.valid_len

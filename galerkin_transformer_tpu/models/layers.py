@@ -228,14 +228,24 @@ class SimpleAttention(nn.Module):
         else:  # fourier / integral / local
             d = q.shape[-1]
             n = k.shape[-2]
-            scores = jnp.matmul(q, jnp.swapaxes(k, -2, -1),
-                                preferred_element_type=jnp.float32
-                                ).astype(q.dtype) / math.sqrt(d)
-            if mask is not None:
-                scores = jnp.where(mask[:, None] == 0, 0.0, scores)
-            p_attn = attn_dropout(scores / n)
-            x = jnp.matmul(p_attn, v, preferred_element_type=jnp.float32
-                           ).astype(q.dtype)
+            fuse_fourier = (self.use_pallas if self.use_pallas is not None
+                            else jax.default_backend() == "tpu")
+            if (fuse_fourier and mask is None
+                    and (self.dropout == 0.0 or deterministic)):
+                # flash-style tiled kernel: no n×n score materialization
+                from ..ops.pallas.fourier import fourier_attention_tiled
+                x = fourier_attention_tiled(
+                    q, k, v, interpret=jax.default_backend() != "tpu")
+                p_attn = None
+            else:
+                scores = jnp.matmul(q, jnp.swapaxes(k, -2, -1),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(q.dtype) / math.sqrt(d)
+                if mask is not None:
+                    scores = jnp.where(mask[:, None] == 0, 0.0, scores)
+                p_attn = attn_dropout(scores / n)
+                x = jnp.matmul(p_attn, v, preferred_element_type=jnp.float32
+                               ).astype(q.dtype)
 
         out_dim = h * d_k if pos is None else h * (d_k + self.pos_dim)
         out = x.transpose(0, 2, 1, 3).reshape(bsz, -1, out_dim)
