@@ -51,25 +51,39 @@ def run_train(train_step: Callable,
               lr_schedule: Optional[Callable] = None,
               patience: Optional[int] = 10,
               mode: str = "min",
+              start_epoch: int = 0,
+              resume: bool = False,
               model_save_path: str = "models_ckpt",
               model_name: str = "model.ckpt",
               result_name: str = "result.pkl",
               save_best: bool = True,
               verbose: bool = True) -> tuple:
-    """Returns (best_params, final_params, opt_state, TrainResult)."""
+    """Returns (best_params, final_params, opt_state, TrainResult).
+
+    With ``resume=True`` the params AND optimizer state are restored from
+    the checkpoint before training continues at `start_epoch` — unlike the
+    reference, which saved optimizer state but never reloaded it
+    (utils_ft.py:858).
+    """
     if patience is None or patience == 0:
         patience = epochs
     best_val = -np.inf if mode == "max" else np.inf
-    best_epoch = 0
+    best_epoch = start_epoch
     best_params = params
     stop_counter = 0
     loss_train, loss_val, lr_history = [], [], []
-    it = 0
+    it = start_epoch * len(train_loader)
 
     ckpt_path = os.path.join(model_save_path, model_name)
     result_path = os.path.join(model_save_path, result_name)
 
-    for epoch in range(epochs):
+    if resume and os.path.exists(ckpt_path):
+        from .checkpoint import load_checkpoint
+        params, opt_state = load_checkpoint(ckpt_path, params, opt_state)
+        if verbose:
+            print(f"resumed params + optimizer state from {ckpt_path}")
+
+    for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         epoch_losses = []
         for batch in train_loader:
