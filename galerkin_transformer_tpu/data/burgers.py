@@ -72,10 +72,24 @@ class BurgersDataset:
             with timer(f"Loading {os.path.basename(self.data_path)}"):
                 data = loadmat(self.data_path)
                 return np.asarray(data["a"]), np.asarray(data["u"])
+        from ..utils.config import DATA_PATH
         from .synthetic import burgers_cole_hopf
-        return burgers_cole_hopf(self.n_samples_synthetic, self.n_grid_fine,
+        cache = os.path.join(
+            DATA_PATH, f"burgers_synth_n{self.n_grid_fine}"
+            f"_s{self.n_samples_synthetic}_v{self.synthetic_viscosity}"
+            f"_seed{self.random_state}.npz")
+        if os.path.exists(cache):
+            with np.load(cache) as z:
+                return z["a"], z["u"]
+        a, u = burgers_cole_hopf(self.n_samples_synthetic, self.n_grid_fine,
                                  self.synthetic_viscosity,
                                  seed=self.random_state)
+        try:
+            os.makedirs(DATA_PATH, exist_ok=True)
+            np.savez_compressed(cache, a=a, u=u)
+        except OSError:
+            pass
+        return a, u
 
     def train_test_split(self, len_data: int):
         tp, vp = self.train_portion, self.valid_portion

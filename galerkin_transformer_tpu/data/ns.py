@@ -45,12 +45,24 @@ class NavierStokesDatasetLite:
                 with h5py.File(self.data_path, mode="r") as data:
                     x = np.transpose(data["u"])
             return x
+        from ..utils.config import DATA_PATH
         from .synthetic import navier_stokes_spectral
         seed = self.random_state + (0 if self.train_data else 7)
-        return navier_stokes_spectral(
-            self.n_samples_synthetic, self.n_grid,
-            n_steps_record=self.time_steps_input + self.time_steps_output,
-            seed=seed)
+        n_rec = self.time_steps_input + self.time_steps_output
+        cache = os.path.join(
+            DATA_PATH, f"ns_synth_n{self.n_grid}_s{self.n_samples_synthetic}"
+            f"_t{n_rec}_seed{seed}.npz")
+        if os.path.exists(cache):
+            with np.load(cache) as z:
+                return z["u"]
+        u = navier_stokes_spectral(self.n_samples_synthetic, self.n_grid,
+                                   n_steps_record=n_rec, seed=seed)
+        try:
+            os.makedirs(DATA_PATH, exist_ok=True)
+            np.savez_compressed(cache, u=u)
+        except OSError:
+            pass
+        return u
 
     def _initialize(self):
         x = self._load()
