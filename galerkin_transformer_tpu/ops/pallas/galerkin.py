@@ -47,8 +47,8 @@ def _scores_kernel(k_ref, v_ref, pos_ref, sk_ref, bk_ref, sv_ref, bv_ref,
 
     k = k_ref[0]  # (tile, d_k)
     v = v_ref[0]
-    kn = _ln(k, sk_ref[0], bk_ref[0], eps)
-    vn = _ln(v, sv_ref[0], bv_ref[0], eps)
+    kn = _ln(k, sk_ref[0, 0], bk_ref[0, 0], eps)
+    vn = _ln(v, sv_ref[0, 0], bv_ref[0, 0], eps)
 
     # zero padded rows so they don't pollute the reduction
     row = jax.lax.broadcasted_iota(jnp.int32, kn.shape, 0) + t * tile
@@ -119,20 +119,24 @@ def galerkin_scores_pallas(k: jax.Array, v: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, max(pdim, 1)), lambda bh, t: (bh, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_k), lambda bh, t: (bh % h, 0),
+            # LN params reshaped (H, 1, d_k): a (1, 1, d_k) block keeps the
+            # last-two-dims tiling constraint regardless of head count
+            pl.BlockSpec((1, 1, d_k), lambda bh, t: (bh % h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_k), lambda bh, t: (bh % h, 0),
+            pl.BlockSpec((1, 1, d_k), lambda bh, t: (bh % h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_k), lambda bh, t: (bh % h, 0),
+            pl.BlockSpec((1, 1, d_k), lambda bh, t: (bh % h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_k), lambda bh, t: (bh % h, 0),
+            pl.BlockSpec((1, 1, d_k), lambda bh, t: (bh % h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, d_eff, d_eff), lambda bh, t: (bh, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, d_eff, d_eff), jnp.float32),
         interpret=interpret,
-    )(kf, vf, posf, scale_k, bias_k, scale_v, bias_v)
+    )(kf, vf, posf,
+      scale_k.reshape(h, 1, d_k), bias_k.reshape(h, 1, d_k),
+      scale_v.reshape(h, 1, d_k), bias_v.reshape(h, 1, d_k))
     return out.reshape(b, h, d_eff, d_eff)
 
 
