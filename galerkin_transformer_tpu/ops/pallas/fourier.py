@@ -29,7 +29,7 @@ DEFAULT_TILE_K = 512
 
 
 def _matmul_chain_kernel(a_ref, b_ref, c_ref, o_ref, *, tile_r: int,
-                         n_true_mid: int, tile_mid: int, transpose_first: bool):
+                         n_true_mid: int, tile_mid: int):
     """o[r] += (A_r B_mᵀ) C_m  (or (A_r Bᵀ_m)... masked on the mid dim).
 
     grid = (BH, r_tiles, mid_tiles); o block (1, tile_r, d_out) indexed by
@@ -77,8 +77,7 @@ def _tiled_abc(a, b, c, n_true_mid, tile_r, tile_mid, interpret):
     c = _pad_seq(c, m_pad)
     grid = (bh, r_pad // tile_r, m_pad // tile_mid)
     kernel = functools.partial(_matmul_chain_kernel, tile_r=tile_r,
-                               n_true_mid=n_true_mid, tile_mid=tile_mid,
-                               transpose_first=False)
+                               n_true_mid=n_true_mid, tile_mid=tile_mid)
     out = pl.pallas_call(
         kernel,
         grid=grid,

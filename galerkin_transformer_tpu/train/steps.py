@@ -14,8 +14,7 @@ window (BPTT through all steps in one program, ns_lite.py:205-238).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
