@@ -71,6 +71,11 @@ class SimpleTransformerEncoderLayer(nn.Module):
             norm_type=norm_type,
             eps=norm_eps,
             dropout=dropout,
+            # the tiled fourier kernel never materializes the n×n weights,
+            # so force the dense path when the caller wants them returned
+            # (the galerkin kernel's d×d weights are always available)
+            use_pallas=(False if self.attn_weight and self.attention_type
+                        in ("fourier", "integral", "local") else None),
             name="attn",
         )(x, x, x, pos=pos, weight=weight, deterministic=deterministic)
 
