@@ -116,3 +116,51 @@ def test_from_config_ignores_unknown_keys():
     cfg["normalizer"] = object()  # runtime-injected key must be dropped
     model = SimpleTransformer.from_config(cfg)
     assert model.n_hidden == 96
+
+
+def test_simple_transformer_gcn_features(rng_key):
+    """GCN feature extractor path with FEM edge features end-to-end."""
+    from galerkin_transformer_tpu.data import BurgersDataset
+    ds = BurgersDataset(subsample=8, n_grid_fine=256, train_data=True,
+                        train_portion=0.5, n_samples_synthetic=4,
+                        return_edge=True, n_krylov=2)
+    item = ds[0]
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=1, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, num_feat_layers=2,
+               feat_extract_type="gcn", edge_feats=4, graph_activation=True)
+    model = SimpleTransformer.from_config(cfg)
+    node = jnp.asarray(item["node"])[None]
+    edge = jnp.asarray(item["edge"])[None]
+    pos = jnp.asarray(item["pos"])[None]
+    params = model.init(rng_key, node, edge, pos, pos)["params"]
+    out = model.apply({"params": params}, node, edge, pos, pos)
+    assert out["preds"].shape == (1, 32, 1)
+
+
+def test_simple_transformer_freq_targets(rng_key):
+    """BulkRegressor frequency-target head (n_freq_targets > 0)."""
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=1, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, n_freq_targets=3, pred_len=5,
+               bulk_regression=True, seq_len=64)
+    model = SimpleTransformer.from_config(cfg)
+    n = 64
+    node = jnp.ones((2, n, 1))
+    pos = jnp.linspace(0, 1, n)[None, :, None].repeat(2, 0)
+    params = model.init(rng_key, node, None, pos, pos)["params"]
+    out = model.apply({"params": params}, node, None, pos, pos)
+    assert out["preds_freq"].shape == (2, 5, 3)
+
+
+def test_galerkin_decoder_layer(rng_key):
+    """Re-designed decoder block (reference version is dead code)."""
+    from galerkin_transformer_tpu.models import GalerkinTransformerDecoderLayer
+    layer = GalerkinTransformerDecoderLayer(d_model=32, nhead=2, pos_dim=1,
+                                            dim_feedforward=64, dropout=0.0)
+    x = jax.random.normal(rng_key, (2, 16, 32))
+    mem = jax.random.normal(jax.random.key(9), (2, 16, 32))
+    pos = jnp.linspace(0, 1, 16)[None, :, None].repeat(2, 0)
+    params = layer.init(rng_key, x, mem, pos)
+    out = layer.apply(params, x, mem, pos)
+    assert out.shape == (2, 16, 32)
