@@ -126,6 +126,18 @@ def run_train(train_step: Callable,
                              loss_val=np.asarray(loss_val),
                              lr_history=np.asarray(lr_history))
         save_pickle(result.asdict(), result_path)
+        # machine-readable epoch log next to the pickle
+        try:
+            import json
+            with open(result_path.rsplit(".", 1)[0] + ".jsonl", "a") as f:
+                f.write(json.dumps(dict(
+                    epoch=epoch, loss=[float(v) for v in loss_mean],
+                    val=val_metric, best=best_val,
+                    lr=(float(lr_schedule(it - 1))
+                        if lr_schedule is not None else None),
+                    seconds=round(time.perf_counter() - t0, 2))) + "\n")
+        except OSError:
+            pass
 
         if stop_counter > patience:
             if verbose:
