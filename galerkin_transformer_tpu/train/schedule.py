@@ -42,3 +42,22 @@ def adam_onecycle(max_lr: float, total_steps: int,
         if weight_decay > 0 else optax.adam(sched),
     )
     return tx, sched
+
+
+def adam_plateau(lr: float = 1e-3, grad_clip: float = 0.999,
+                 patience: int = 10, factor: float = 0.5,
+                 min_scale: float = 1e-4):
+    """Adam + clip + ReduceLROnPlateau — the reference's per-epoch scheduler
+    family (EPOCH_SCHEDULERS, utils_ft.py:744-745, 813-817).
+
+    The returned transform consumes a ``value=`` kwarg at update time
+    (pass the epoch/batch loss); train.steps factories forward it when
+    built with ``needs_value=True``.
+    """
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(lr),
+        optax.contrib.reduce_on_plateau(
+            patience=patience, factor=factor, min_scale=min_scale),
+    )
+    return tx, None

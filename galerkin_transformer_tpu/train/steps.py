@@ -28,7 +28,7 @@ def _apply_kwargs(rng):
 # --------------------------------------------------------------- Burgers
 
 def make_burgers_steps(model, loss_fn, metric_fn, tx,
-                       donate: bool = True):
+                       donate: bool = True, needs_value: bool = False):
     def forward_loss(params, batch, rng):
         out = model.apply({"params": params}, batch["node"], batch["edge"],
                           batch["pos"], batch["grid"], **_apply_kwargs(rng))
@@ -49,9 +49,11 @@ def make_burgers_steps(model, loss_fn, metric_fn, tx,
         rng, sub = jax.random.split(rng)
         grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
         (_, res), grads = grad_fn(params, batch, sub)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        total = res.loss + res.reg + res.ortho
+        extra = dict(value=total) if needs_value else {}
+        updates, opt_state = tx.update(grads, opt_state, params, **extra)
         params = optax.apply_updates(params, updates)
-        losses = (res.loss + res.reg + res.ortho, res.reg, res.ortho)
+        losses = (total, res.reg, res.ortho)
         return params, opt_state, rng, losses
 
     def eval_step(params, batch):
@@ -70,7 +72,7 @@ def make_burgers_steps(model, loss_fn, metric_fn, tx,
 
 def make_darcy_steps(model, loss_fn, metric_fn, tx,
                      normalizer: Optional[Tuple] = None,
-                     donate: bool = True):
+                     donate: bool = True, needs_value: bool = False):
     def forward(params, batch, rng=None):
         kwargs = _apply_kwargs(rng) if rng is not None else dict(
             deterministic=True)
@@ -92,7 +94,8 @@ def make_darcy_steps(model, loss_fn, metric_fn, tx,
         rng, sub = jax.random.split(rng)
         grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
         (_, res), grads = grad_fn(params, batch, sub)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        extra = dict(value=res.loss + res.reg) if needs_value else {}
+        updates, opt_state = tx.update(grads, opt_state, params, **extra)
         params = optax.apply_updates(params, updates)
         return params, opt_state, rng, (res.loss + res.reg, res.reg)
 
@@ -110,7 +113,7 @@ def make_darcy_steps(model, loss_fn, metric_fn, tx,
 # ------------------------------------------------------------------- NS
 
 def make_ns_steps(model, loss_fn, metric_fn, tx, time_steps: int = 10,
-                  donate: bool = True):
+                  donate: bool = True, needs_value: bool = False):
     """Autoregressive rollout training: scan over the window, one backward
     through all steps (ns_lite.py:205-238)."""
 
@@ -140,7 +143,8 @@ def make_ns_steps(model, loss_fn, metric_fn, tx, time_steps: int = 10,
         rng, sub = jax.random.split(rng)
         grad_fn = jax.value_and_grad(rollout_loss, has_aux=True)
         (_, (loss_tot, reg_tot)), grads = grad_fn(params, batch, sub)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        extra = dict(value=loss_tot) if needs_value else {}
+        updates, opt_state = tx.update(grads, opt_state, params, **extra)
         params = optax.apply_updates(params, updates)
         return params, opt_state, rng, (loss_tot / time_steps,
                                         reg_tot / time_steps)

@@ -157,3 +157,21 @@ def test_darcy_step_runs():
                                                 jax.random.key(0))
     assert np.isfinite(float(losses[0]))
     assert np.isfinite(float(eval_step(params, b)))
+
+
+def test_plateau_scheduler_reduces_lr():
+    """ReduceLROnPlateau transform scales updates after `patience` epochs
+    without improvement."""
+    import optax
+    from galerkin_transformer_tpu.train.schedule import adam_plateau
+    tx, _ = adam_plateau(lr=1e-2, patience=2, factor=0.1)
+    params = {"w": jnp.ones(4)}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones(4)}
+    scales = []
+    for step in range(8):
+        updates, opt_state = tx.update(grads, opt_state, params,
+                                       value=jnp.asarray(1.0))  # no improvement
+        params = optax.apply_updates(params, updates)
+        scales.append(float(jnp.abs(updates["w"]).max()))
+    assert scales[-1] < scales[0] * 0.5
