@@ -1,3 +1,5 @@
-from .mesh import make_mesh, batch_sharding, replicate
+from .mesh import make_mesh, batch_sharding, replicate, shard_batch
+from .galerkin import seq_sharded_galerkin_attention
 
-__all__ = ["make_mesh", "batch_sharding", "replicate"]
+__all__ = ["make_mesh", "batch_sharding", "replicate", "shard_batch",
+           "seq_sharded_galerkin_attention"]
