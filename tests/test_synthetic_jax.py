@@ -1,0 +1,34 @@
+"""Device-side generators vs numpy reference solver."""
+import numpy as np
+
+from galerkin_transformer_tpu.data.synthetic import navier_stokes_spectral
+from galerkin_transformer_tpu.data.synthetic_jax import navier_stokes_spectral_jax
+
+
+def test_jax_ns_solver_matches_numpy_dynamics():
+    """Same initial field (injected), same scheme -> same trajectory."""
+    import jax.numpy as jnp
+    from galerkin_transformer_tpu.data.synthetic_jax import _ns_rollout
+    rng = np.random.default_rng(0)
+    n = 32
+    # build one smooth initial field with the numpy GRF
+    from galerkin_transformer_tpu.data.synthetic import grf_2d
+    w0 = grf_2d(1, n, rng, tau=7.0, alpha=2.5)
+
+    out_np = None
+    # numpy path: reuse the module solver but inject w0 via monkeypatching
+    import galerkin_transformer_tpu.data.synthetic as syn
+    orig = syn.grf_2d
+    try:
+        syn.grf_2d = lambda *a, **k: w0
+        out_np = navier_stokes_spectral(1, n, n_steps_record=3,
+                                        record_every=0.05, dt=1e-3, seed=0)
+    finally:
+        syn.grf_2d = orig
+
+    xs = np.linspace(0, 1, n, endpoint=False)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    f = 0.1 * (np.sin(2 * np.pi * (X + Y)) + np.cos(2 * np.pi * (X + Y)))
+    out_jx = np.asarray(_ns_rollout(jnp.asarray(w0), jnp.fft.fft2(f),
+                                    n, 3, 50, 1e-3, 1e-3))
+    np.testing.assert_allclose(out_jx, out_np, rtol=1e-3, atol=1e-5)
