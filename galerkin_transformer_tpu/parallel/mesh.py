@@ -51,3 +51,24 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
         else:
             out[k] = jax.device_put(v, replicate(mesh))
     return out
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX (TPU pods / multi-process CPU testing).
+
+    On Cloud TPU the arguments are auto-detected from the environment;
+    returns the global device count.  Call once, before any jax op, on
+    every host of the slice; then `make_mesh()` spans all hosts and
+    per-host `DataLoader`s should shard the sample space by
+    `jax.process_index()`.
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1 or \
+            coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return len(jax.devices())
