@@ -78,8 +78,8 @@ class RandomFourierTransformer(nn.Module):
 
 def main(argv=None):
     args = get_args_1d(argv)
-    if not args.fast_matmul:
-        jax.config.update("jax_default_matmul_precision", "highest")
+    from galerkin_transformer_tpu.utils.jax_setup import setup
+    setup(precision=None if args.fast_matmul else "highest")
     key = get_seed(args.seed)
     attention_type = (args.attention_type
                       if args.attention_type in ("favor", "rfa") else "favor")

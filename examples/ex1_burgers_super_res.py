@@ -26,8 +26,8 @@ from galerkin_transformer_tpu.utils.config import MODEL_PATH
 
 def main(argv=None):
     args = get_args_1d(argv)
-    if not args.fast_matmul:
-        jax.config.update("jax_default_matmul_precision", "highest")
+    from galerkin_transformer_tpu.utils.jax_setup import setup
+    setup(precision=None if args.fast_matmul else "highest")
     key = get_seed(args.seed)
 
     train_dataset = BurgersDataset(subsample=4, train_data=True,

@@ -28,8 +28,8 @@ from galerkin_transformer_tpu.utils.config import MODEL_PATH
 def main(argv=None):
     args = get_args_2d(subsample_nodes=3, subsample_attn=12, gamma=0.0,
                        noise=0.01, inverse=True, argv=argv)
-    if not args.fast_matmul:
-        jax.config.update("jax_default_matmul_precision", "highest")
+    from galerkin_transformer_tpu.utils.jax_setup import setup
+    setup(precision=None if args.fast_matmul else "highest")
     key = get_seed(args.seed)
 
     kw = dict(inverse_problem=True,

@@ -36,8 +36,8 @@ def main(argv=None):
     p.add_argument("--n-samples", type=int, default=64)
     p.add_argument("--fast-matmul", action="store_true", default=False)
     args = p.parse_args(argv)
-    if not args.fast_matmul:
-        jax.config.update("jax_default_matmul_precision", "highest")
+    from galerkin_transformer_tpu.utils.jax_setup import setup
+    setup(precision=None if args.fast_matmul else "highest")
     key = get_seed(args.seed)
 
     train_dataset = NavierStokesDatasetLite(
