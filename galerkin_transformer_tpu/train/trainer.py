@@ -69,7 +69,11 @@ def run_train(train_step: Callable,
         patience = epochs
     best_val = -np.inf if mode == "max" else np.inf
     best_epoch = start_epoch
-    best_params = params
+    # true host copy: train_step donates param buffers, and np.asarray of a
+    # CPU jax array can alias the buffer zero-copy
+    _host_copy = lambda tree: jax.tree_util.tree_map(
+        lambda x: np.array(x, copy=True), tree)
+    best_params = _host_copy(params)
     stop_counter = 0
     loss_train, loss_val, lr_history = [], [], []
     it = start_epoch * len(train_loader)
@@ -99,13 +103,11 @@ def run_train(train_step: Callable,
         val_metric = validate_epoch(eval_step, params, valid_loader)
         loss_val.append(val_metric)
 
-        improved = (val_metric > best_val if mode == "max"
-                    else val_metric < best_val)
+        improved = np.isfinite(val_metric) and (
+            val_metric > best_val if mode == "max" else val_metric < best_val)
         if improved:
             best_val, best_epoch, stop_counter = val_metric, epoch, 0
-            # host copy — train_step donates param buffers, so holding a
-            # device reference here would alias soon-to-be-invalid memory
-            best_params = jax.tree_util.tree_map(np.asarray, params)
+            best_params = _host_copy(params)
             if save_best:
                 save_checkpoint(ckpt_path, params, opt_state)
         else:
