@@ -14,14 +14,13 @@ Blocks mirror libs/layers.py:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.interp import bilinear_resize
-from ..utils.misc import default
 from .layers import get_activation
 
 

@@ -15,7 +15,7 @@ from flax import linen as nn
 
 from ..ops import attention as A
 from ..ops import spectral as S
-from ..ops.init import diagonal_dominant_init, scaled_xavier_normal
+from ..ops.init import diagonal_dominant_init
 from ..utils.misc import default
 
 ACTIVATIONS: dict[str, Callable] = {

@@ -15,7 +15,7 @@ Semantics matched:
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,6 @@ dim), so the full fused layer shards without any other collective.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
