@@ -80,3 +80,79 @@ def navier_stokes_spectral_jax(n_samples: int = 64, n_grid: int = 64,
     out = _ns_rollout(w0, f_hat, n_grid, n_steps_record, steps_per_record,
                       visc, dt)
     return np.asarray(out, dtype=np.float64)
+
+
+# ------------------------------------------------------------------ Darcy
+
+def _darcy_faces(a):
+    """Harmonic-mean face coefficients of an (n, n) cell field."""
+    face = lambda a1, a2: 2.0 * a1 * a2 / (a1 + a2)
+    aw = face(a[1:-1, 1:-1], a[1:-1, :-2])
+    ae = face(a[1:-1, 1:-1], a[1:-1, 2:])
+    an = face(a[1:-1, 1:-1], a[:-2, 1:-1])
+    as_ = face(a[1:-1, 1:-1], a[2:, 1:-1])
+    return aw, ae, an, as_
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid", "max_iters"))
+def _darcy_cg(coeff, n_grid: int, max_iters: int = 2000, tol: float = 1e-8):
+    """Batched matrix-free Jacobi-preconditioned CG for
+    -∇·(a∇u) = 1, u|∂ = 0 on an n×n grid.  coeff: (B, n, n)."""
+    h = 1.0 / (n_grid - 1)
+    inv_h2 = 1.0 / h ** 2
+
+    def single(a):
+        aw, ae, an, as_ = _darcy_faces(a)
+        diag = (aw + ae + an + as_) * inv_h2
+
+        def apply_A(u):
+            # u: (n-2, n-2) interior
+            up = jnp.pad(u, 1)
+            return (diag * u
+                    - inv_h2 * (aw * up[1:-1, :-2] + ae * up[1:-1, 2:]
+                                + an * up[:-2, 1:-1] + as_ * up[2:, 1:-1]))
+
+        b = jnp.ones((n_grid - 2, n_grid - 2))
+        m_inv = 1.0 / diag
+
+        def body(state):
+            u, r, z, p, rz, it = state
+            ap = apply_A(p)
+            alpha = rz / jnp.vdot(p, ap)
+            u = u + alpha * p
+            r = r - alpha * ap
+            z = m_inv * r
+            rz_new = jnp.vdot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return u, r, z, p, rz_new, it + 1
+
+        def cond(state):
+            _, r, _, _, _, it = state
+            return (jnp.linalg.norm(r) > tol * jnp.linalg.norm(b)) & (
+                it < max_iters)
+
+        u0 = jnp.zeros_like(b)
+        r0 = b
+        z0 = m_inv * r0
+        state = (u0, r0, z0, z0, jnp.vdot(r0, z0), 0)
+        u, r, *_ = jax.lax.while_loop(cond, body, state)
+        return jnp.pad(u, 1)
+
+    return jax.vmap(single)(coeff)
+
+
+def darcy_cg_jax(n_samples: int = 64, n_grid: int = 421,
+                 seed: int = 1127802, hi: float = 12.0, lo: float = 3.0,
+                 batch: int = 16) -> tuple:
+    """Device-side Darcy data generation: thresholded-GRF coefficients and
+    FD solutions via batched CG.  Same contract as synthetic.darcy_fd."""
+    key = jax.random.key(seed)
+    g = grf_2d_jax(key, n_samples, n_grid, tau=9.0, alpha=2.0)
+    coeff = jnp.where(g >= 0, hi, lo)
+    sols = []
+    for i in range(0, n_samples, batch):
+        sols.append(_darcy_cg(coeff[i:i + batch], n_grid))
+    sol = jnp.concatenate(sols, axis=0)
+    return (np.asarray(coeff, dtype=np.float64),
+            np.asarray(sol, dtype=np.float64))

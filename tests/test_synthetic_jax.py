@@ -32,3 +32,23 @@ def test_jax_ns_solver_matches_numpy_dynamics():
     out_jx = np.asarray(_ns_rollout(jnp.asarray(w0), jnp.fft.fft2(f),
                                     n, 3, 50, 1e-3, 1e-3))
     np.testing.assert_allclose(out_jx, out_np, rtol=1e-3, atol=1e-5)
+
+
+def test_jax_darcy_cg_solves():
+    """CG solution satisfies the FD equations (residual check)."""
+    from galerkin_transformer_tpu.data.synthetic_jax import darcy_cg_jax
+    coeff, sol = darcy_cg_jax(2, 33, seed=0)
+    h = 1 / 32
+    a, u = coeff[0], sol[0]
+
+    def face(a1, a2):
+        return 2 * a1 * a2 / (a1 + a2)
+    aw = face(a[1:-1, 1:-1], a[1:-1, :-2])
+    ae = face(a[1:-1, 1:-1], a[1:-1, 2:])
+    an = face(a[1:-1, 1:-1], a[:-2, 1:-1])
+    as_ = face(a[1:-1, 1:-1], a[2:, 1:-1])
+    res = (aw * (u[1:-1, 1:-1] - u[1:-1, :-2])
+           + ae * (u[1:-1, 1:-1] - u[1:-1, 2:])
+           + an * (u[1:-1, 1:-1] - u[:-2, 1:-1])
+           + as_ * (u[1:-1, 1:-1] - u[2:, 1:-1])) / h ** 2
+    np.testing.assert_allclose(res, np.ones_like(res), rtol=1e-3, atol=1e-4)
