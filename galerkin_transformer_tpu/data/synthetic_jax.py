@@ -95,7 +95,7 @@ def _darcy_faces(a):
 
 
 @functools.partial(jax.jit, static_argnames=("n_grid", "max_iters"))
-def _darcy_cg(coeff, n_grid: int, max_iters: int = 2000, tol: float = 1e-8):
+def _darcy_cg(coeff, n_grid: int, max_iters: int = 2000, tol: float = 1e-6):
     """Batched matrix-free Jacobi-preconditioned CG for
     -∇·(a∇u) = 1, u|∂ = 0 on an n×n grid.  coeff: (B, n, n)."""
     h = 1.0 / (n_grid - 1)
