@@ -41,9 +41,12 @@ class SimpleTransformerEncoderLayer(nn.Module):
     activation_type: Optional[str] = "relu"
     dropout: Optional[float] = 0.1
     ffn_dropout: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, pos=None, weight=None, deterministic: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         dropout = default(self.dropout, 0.05)
         if self.attention_type in ("linear", "softmax"):
             dropout = 0.1
@@ -76,6 +79,7 @@ class SimpleTransformerEncoderLayer(nn.Module):
             # (the galerkin kernel's d×d weights are always available)
             use_pallas=(False if self.attn_weight and self.attention_type
                         in ("fourier", "integral", "local") else None),
+            dtype=self.dtype,
             name="attn",
         )(x, x, x, pos=pos, weight=weight, deterministic=deterministic)
 
@@ -86,16 +90,21 @@ class SimpleTransformerEncoderLayer(nn.Module):
             x = x - drop1(att_output, deterministic=deterministic)
         if self.layer_norm:
             x = nn.LayerNorm(epsilon=norm_eps, name="layer_norm1")(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
 
         x1 = FeedForward(in_dim=self.d_model,
                          dim_feedforward=dim_feedforward,
                          batch_norm=self.batch_norm,
                          activation=self.activation_type,
                          dropout=ffn_dropout,
+                         dtype=self.dtype,
                          name="ff")(x, deterministic=deterministic)
         x = x + nn.Dropout(dropout)(x1, deterministic=deterministic)
         if self.layer_norm:
             x = nn.LayerNorm(epsilon=norm_eps, name="layer_norm2")(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
 
         if self.attn_weight:
             return x, attn_weight

@@ -70,16 +70,18 @@ class FeedForward(nn.Module):
     batch_norm: bool = False
     activation: Optional[str] = "relu"
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_dim = default(self.out_dim, self.in_dim)
         act = get_activation(self.activation, "relu")
-        x = act(nn.Dense(self.dim_feedforward, name="lr1")(x))
+        x = act(nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                         name="lr1")(x))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=deterministic, name="bn")(x)
-        return nn.Dense(out_dim, name="lr2")(x)
+        return nn.Dense(out_dim, dtype=self.dtype, name="lr2")(x)
 
 
 class SimpleAttention(nn.Module):
@@ -112,6 +114,7 @@ class SimpleAttention(nn.Module):
     norm_type: str = "layer"
     eps: float = 1e-5
     use_pallas: Optional[bool] = None  # None = auto (TPU + fusable config)
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, query, key, value, pos=None, mask=None, weight=None,
@@ -131,7 +134,8 @@ class SimpleAttention(nn.Module):
         else:
             kernel_init = nn.initializers.lecun_normal()
         proj = [nn.Dense(self.d_model, kernel_init=kernel_init,
-                         bias_init=nn.initializers.zeros, name=nm)
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         name=nm)
                 for nm in ("q_proj", "k_proj", "v_proj")]
         # (B, n, d_model) -> (B, H, n, d_k)
         def split_heads(x):
@@ -164,7 +168,8 @@ class SimpleAttention(nn.Module):
             out_dim = h * d_k if pos_in is None else h * (d_k + self.pos_dim)
             out = x.transpose(0, 2, 1, 3).reshape(bsz, -1, out_dim)
             if pos_in is not None:
-                out = nn.Dense(self.d_model, name="fc")(out)
+                out = nn.Dense(self.d_model, dtype=self.dtype,
+                               name="fc")(out)
             return out, p_attn
 
         if self.norm:
@@ -250,7 +255,7 @@ class SimpleAttention(nn.Module):
         out_dim = h * d_k if pos is None else h * (d_k + self.pos_dim)
         out = x.transpose(0, 2, 1, 3).reshape(bsz, -1, out_dim)
         if pos is not None and self.pos_dim > 0:
-            out = nn.Dense(self.d_model, name="fc")(out)
+            out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         return out, p_attn
 
 

@@ -96,6 +96,7 @@ class SimpleTransformer(_ConfigurableModel):
     encoder_dropout: Optional[float] = 0.0
     decoder_dropout: Optional[float] = 0.0
     ffn_dropout: Optional[float] = 0.0
+    dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
 
     @nn.compact
     def __call__(self, node, edge=None, pos=None, grid=None, weight=None,
@@ -168,6 +169,7 @@ class SimpleTransformer(_ConfigurableModel):
                 activation_type=self.attn_activation,
                 dropout=self.encoder_dropout,
                 ffn_dropout=self.ffn_dropout,
+                dtype=self.dtype,
                 name=f"encoder_layer{i}")
             if self.return_attn_weight:
                 x, attn_w = layer(x, pos, weight, deterministic)
@@ -176,6 +178,8 @@ class SimpleTransformer(_ConfigurableModel):
                 x = layer(x, pos, weight, deterministic)
             if self.return_latent:
                 x_latent.append(x)
+        if self.dtype is not None:
+            x = x.astype(jnp.float32)   # decoder stays f32
 
         if self.spacial_residual:
             x = res + x

@@ -137,10 +137,12 @@ def per_head_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     ModuleList of per-head ``nn.LayerNorm(d_k)`` (libs/layers.py:915-951)
     but executed as one fused vector op.
     """
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    xhat = (x - mean) * jax.lax.rsqrt(var + eps)
-    return xhat * scale[..., :, None, :] + bias[..., :, None, :]
+    xf = x.astype(jnp.float32)  # stats in f32 regardless of activation dtype
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xhat * scale[..., :, None, :] + bias[..., :, None, :]
+    return out.astype(x.dtype)
 
 
 def per_head_instance_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -152,7 +154,9 @@ def per_head_instance_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     normalize each channel across the sequence (libs/layers.py:841-867,
     946-951).  x: (..., H, n, d); scale, bias: (H, d).
     """
-    mean = jnp.mean(x, axis=-2, keepdims=True)
-    var = jnp.var(x, axis=-2, keepdims=True)
-    xhat = (x - mean) * jax.lax.rsqrt(var + eps)
-    return xhat * scale[..., :, None, :] + bias[..., :, None, :]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-2, keepdims=True)
+    var = jnp.var(xf, axis=-2, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xhat * scale[..., :, None, :] + bias[..., :, None, :]
+    return out.astype(x.dtype)

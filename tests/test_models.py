@@ -164,3 +164,28 @@ def test_galerkin_decoder_layer(rng_key):
     params = layer.init(rng_key, x, mem, pos)
     out = layer.apply(params, x, mem, pos)
     assert out.shape == (2, 16, 32)
+
+
+def test_simple_transformer_bf16_encoder(rng_key):
+    """bf16 encoder compute with f32 params: finite output, grads exist."""
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    model = SimpleTransformer.from_config(cfg, dtype=jnp.bfloat16)
+    n = 64
+    node = jnp.ones((2, n, 1))
+    pos = jnp.linspace(0, 1, n)[None, :, None].repeat(2, 0)
+    params = model.init(rng_key, node, None, pos, pos)["params"]
+    # params are f32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(params))
+    out = model.apply({"params": params}, node, None, pos, pos)["preds"]
+    assert out.dtype == jnp.float32 and np.isfinite(np.asarray(out)).all()
+    # close to the f32 model with the same params
+    f32_model = SimpleTransformer.from_config(cfg)
+    out32 = f32_model.apply({"params": params}, node, None, pos, pos)["preds"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out32),
+                               rtol=0.1, atol=0.05)
+    g = jax.grad(lambda p: float(0) + jnp.sum(
+        model.apply({"params": p}, node, None, pos, pos)["preds"] ** 2))(params)
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
