@@ -233,8 +233,13 @@ class SimpleAttention(nn.Module):
         else:  # fourier / integral / local
             d = q.shape[-1]
             n = k.shape[-2]
+            # auto: the tiled kernel trades ~20% speed for O(n·d) memory
+            # instead of the n² score tensor — dispatch to it when the
+            # dense scores would be large (>512 MB across batch·heads)
+            scores_bytes = bsz * h * n * n * 4
             fuse_fourier = (self.use_pallas if self.use_pallas is not None
-                            else jax.default_backend() == "tpu")
+                            else (jax.default_backend() == "tpu"
+                                  and scores_bytes > 512 * 2 ** 20))
             if (fuse_fourier and mask is None
                     and (self.dropout == 0.0 or deterministic)):
                 # flash-style tiled kernel: no n×n score materialization
