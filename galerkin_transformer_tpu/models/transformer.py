@@ -286,6 +286,7 @@ class FourierTransformer2D(_ConfigurableModel):
     ffn_dropout: Optional[float] = 0.05
     downscaler_dropout: Optional[float] = 0.05
     upscaler_dropout: Optional[float] = 0.0
+    dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
 
     @nn.compact
     def __call__(self, node, edge=None, pos=None, grid=None, weight=None,
@@ -380,6 +381,7 @@ class FourierTransformer2D(_ConfigurableModel):
                 activation_type=self.attn_activation,
                 dropout=self.encoder_dropout,
                 ffn_dropout=self.ffn_dropout,
+                dtype=self.dtype,
                 name=f"encoder_layer{i}")
             if self.return_attn_weight:
                 x, attn_w = layer(x, pos, weight, deterministic)
@@ -388,6 +390,8 @@ class FourierTransformer2D(_ConfigurableModel):
                 x = layer(x, pos, weight, deterministic)
             if self.return_latent:
                 x_latent.append(x)
+        if self.dtype is not None:
+            x = x.astype(jnp.float32)   # scalers/decoder stay f32
 
         # ---- upscaler: coarse -> fine
         x = x.reshape(bsz, n_s, n_s, self.n_hidden)
@@ -489,6 +493,7 @@ class FourierTransformer2DLite(_ConfigurableModel):
     encoder_dropout: Optional[float] = 0.0
     decoder_dropout: Optional[float] = 0.0
     ffn_dropout: Optional[float] = 0.05
+    dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
 
     @nn.compact
     def __call__(self, node, edge=None, pos=None, grid=None,
@@ -517,7 +522,10 @@ class FourierTransformer2DLite(_ConfigurableModel):
                 dropout=self.encoder_dropout,
                 ffn_dropout=self.ffn_dropout,
                 pos_dim=self.pos_dim,
+                dtype=self.dtype,
                 name=f"encoder_layer{i}")(x, pos, None, deterministic)
+        if self.dtype is not None:
+            x = x.astype(jnp.float32)   # decoder stays f32
 
         x = nn.Dropout(dropout)(x, deterministic=deterministic)
         x = x.reshape(bsz, n_grid, n_grid, self.n_hidden)
