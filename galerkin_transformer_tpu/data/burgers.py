@@ -34,6 +34,7 @@ class BurgersDataset:
                  n_samples_synthetic: int = 256,
                  synthetic_viscosity: float = 0.01,
                  return_edge: bool = False,
+                 online_features: bool = False,
                  renormalization: bool = False,
                  return_distance_features: bool = True,
                  return_mass_features: bool = False,
@@ -56,6 +57,7 @@ class BurgersDataset:
         self.n_samples_synthetic = n_samples_synthetic
         self.synthetic_viscosity = synthetic_viscosity
         self.return_edge = return_edge
+        self.online_features = online_features
         self.renormalization = renormalization
         self.return_distance_features = return_distance_features
         self.return_mass_features = return_mass_features
@@ -123,7 +125,7 @@ class BurgersDataset:
         grid = np.linspace(0, 1, self.n_grid)
         grid_fine = np.linspace(0, 1, self.n_grid_fine // self.supsample)
 
-        if self.return_edge:
+        if self.return_edge and not self.online_features:
             edge, mass = self.get_edge(grid)
             self.edge_features = np.broadcast_to(
                 edge[None], (self.n_samples,) + edge.shape)
@@ -162,7 +164,10 @@ class BurgersDataset:
         return np.concatenate(feats, axis=2), mass
 
     def __getitem__(self, index: int) -> dict:
-        if self.return_edge:
+        if self.online_features:
+            # compute featurization on the fly (reference ft.py:325-352)
+            edge, mass = self.get_edge(self.pos[:, 0])
+        elif self.return_edge:
             edge = self.edge_features[index]
             mass = self.mass_features[index]
         else:

@@ -27,3 +27,7 @@ def timer(title: str = ""):
     yield
     dt, dm = time.perf_counter() - t0, _rss_gb() - m0
     print(f"{title} - done in {dt:.2f} s, mem delta {dm:+.3f} GB")
+
+
+# reference alias (libs/utils.py:225-235): `trace` is the wall+RSS timer
+trace = timer
