@@ -1,0 +1,63 @@
+"""Reference-checkpoint loading: build the torch reference SimpleTransformer,
+export its state_dict, load into our model, compare outputs."""
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference/libs"
+HAS_REF = os.path.exists(REF)
+if HAS_REF:
+    if "torchinfo" not in sys.modules:
+        stub = types.ModuleType("torchinfo")
+        stub.summary = lambda *a, **k: None
+        sys.modules["torchinfo"] = stub
+    sys.path.insert(0, REF)
+
+pytestmark = pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+
+
+@pytest.fixture(autouse=True)
+def _disable_reference_attn_dropout(monkeypatch):
+    if HAS_REF:
+        import layers as ref_layers
+        monkeypatch.setattr(ref_layers.F, "dropout", lambda x, *a, **k: x)
+    yield
+
+
+def test_load_reference_simple_transformer_checkpoint():
+    import torch
+    import yaml
+    from model import SimpleTransformer as RefModel
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.utils import load_config
+    from galerkin_transformer_tpu.utils.torch_compat import \
+        load_reference_checkpoint
+
+    cfg = dict(load_config("ex1_burgers"))
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin",
+               debug=False)
+    torch.manual_seed(0)
+    ref = RefModel(**cfg).eval()
+    sd = ref.state_dict()
+
+    ours = SimpleTransformer.from_config(cfg)
+    n, b = 64, 2
+    rng = np.random.default_rng(0)
+    node = rng.standard_normal((b, n, 1)).astype(np.float32)
+    pos = np.linspace(0, 1, n).astype(np.float32)[None, :, None].repeat(b, 0)
+    template = ours.init(jax.random.key(0), jnp.asarray(node), None,
+                         jnp.asarray(pos), jnp.asarray(pos))["params"]
+    params = load_reference_checkpoint(template, sd)
+
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(node), None, torch.tensor(pos),
+                      torch.tensor(pos))["preds"].numpy()
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(node), None,
+                                jnp.asarray(pos), jnp.asarray(pos))["preds"])
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-4)
