@@ -87,6 +87,19 @@ def convert_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Tuple[dict, list]
             unmatched.append(key)
             continue
 
+        # 2D scalers: Conv2dResBlock's Sequential(conv, dropout) -> conv.0
+        m = re.match(r"downscaler\.downsample\.(conv\d)\.conv\.0\.weight", key)
+        if m:
+            # torch conv (out,in,kh,kw) -> flax (kh,kw,in,out)
+            put(("downscaler", "interp", m.group(1), "conv", "kernel"),
+                val.transpose(2, 3, 1, 0))
+            continue
+        m = re.match(r"upscaler\.upsample\.conv\.0\.conv\.0\.weight", key)
+        if m:
+            put(("upscaler", "interp", "conv", "conv", "kernel"),
+                val.transpose(2, 3, 1, 0))
+            continue
+
         # feature extractor (Identity lift)
         m = re.match(r"feat_extract\.id\.(weight|bias)", key)
         if m:

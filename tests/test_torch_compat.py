@@ -61,3 +61,47 @@ def test_load_reference_simple_transformer_checkpoint():
     out = np.asarray(ours.apply({"params": params}, jnp.asarray(node), None,
                                 jnp.asarray(pos), jnp.asarray(pos))["preds"])
     np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_load_reference_fourier2d_checkpoint():
+    import torch
+    from model import FourierTransformer2D as RefModel
+    from galerkin_transformer_tpu.models import FourierTransformer2D
+    from galerkin_transformer_tpu.utils import load_config
+    from galerkin_transformer_tpu.utils.torch_compat import \
+        load_reference_checkpoint
+
+    n_f, n_c = 29, 15
+    down = ((21, 21), (n_c, n_c))
+    up = ((21, 21), (n_f, n_f))
+    cfg = dict(load_config("ex2_darcy"))
+    cfg.update(n_hidden=32, num_encoder_layers=2, n_head=2,
+               dim_feedforward=64, freq_dim=8, fourier_modes=4,
+               downscaler_size=down, upscaler_size=up, debug=False,
+               boundary_condition=None, downscaler_dropout=0.0,
+               upscaler_dropout=0.0, encoder_dropout=0.0, ffn_dropout=0.0,
+               dropout=0.0, decoder_dropout=0.0)
+    torch.manual_seed(0)
+    ref = RefModel(**cfg).eval()
+    sd = ref.state_dict()
+
+    ours = FourierTransformer2D.from_config(cfg)
+    rng = np.random.default_rng(1)
+    node = rng.standard_normal((2, n_f, n_f, 1)).astype(np.float32)
+    xs = np.linspace(0, 1, n_c).astype(np.float32)
+    xg, yg = np.meshgrid(xs, xs)
+    pos = np.stack([xg.ravel(), yg.ravel()], -1)[None].repeat(2, 0)
+    gs = np.linspace(0, 1, n_f).astype(np.float32)
+    gx, gy = np.meshgrid(gs, gs)
+    grid = np.stack([gx, gy], -1)[None].repeat(2, 0).astype(np.float32)
+
+    template = ours.init(jax.random.key(0), jnp.asarray(node), None,
+                         jnp.asarray(pos), jnp.asarray(grid))["params"]
+    params = load_reference_checkpoint(template, sd)
+
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(node), None, torch.tensor(pos),
+                      torch.tensor(grid))["preds"].numpy()
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(node), None,
+                                jnp.asarray(pos), jnp.asarray(grid))["preds"])
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
