@@ -199,3 +199,44 @@ def test_encoder_layer_parity():
     out = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_simple_attention_mass_weight_parity():
+    """Mass-matrix premultiply hook (weight arg, layers.py:834-835)."""
+    import torch
+    from layers import SimpleAttention as RefAttn
+    from galerkin_transformer_tpu.models import SimpleAttention
+
+    torch.manual_seed(0)
+    n_head, d_model, n, b = 2, 32, 16, 2
+    ref = RefAttn(n_head=n_head, d_model=d_model, pos_dim=1,
+                  attention_type="galerkin", dropout=0.0, norm=True).eval()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((b, n, d_model)).astype(np.float32)
+    pos = np.linspace(0, 1, n).astype(np.float32)[None, :, None].repeat(b, 0)
+    w = rng.random((b, n, 1)).astype(np.float32)  # lumped mass weights
+
+    with torch.no_grad():
+        ref_out, _ = ref(_t(x), _t(x), _t(x), pos=_t(pos), weight=_t(w))
+
+    ours = SimpleAttention(n_head=n_head, d_model=d_model, pos_dim=1,
+                           attention_type="galerkin", dropout=0.0, norm=True)
+    params = ours.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(x),
+                       jnp.asarray(x), jnp.asarray(pos))["params"]
+    p = jax.tree_util.tree_map(np.asarray, params)
+    for i, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+        p[nm]["kernel"] = ref.linears[i].weight.detach().numpy().T
+        p[nm]["bias"] = ref.linears[i].bias.detach().numpy()
+    p["fc"]["kernel"] = ref.fc.weight.detach().numpy().T
+    p["fc"]["bias"] = ref.fc.bias.detach().numpy()
+    for onm, rnm in (("K", "norm_K"), ("V", "norm_V")):
+        mods = getattr(ref, rnm)
+        p[f"norm_{onm}_scale"] = np.stack([m.weight.detach().numpy()
+                                           for m in mods])
+        p[f"norm_{onm}_bias"] = np.stack([m.bias.detach().numpy()
+                                          for m in mods])
+    out, _ = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(x),
+                        jnp.asarray(x), jnp.asarray(pos),
+                        weight=jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=1e-4, atol=1e-5)
