@@ -100,6 +100,14 @@ def run_train(train_step: Callable,
         loss_mean = np.mean(np.asarray(epoch_losses), axis=0)
         loss_train.append(loss_mean)
 
+        # failure detection: a diverged run never recovers through Adam
+        # state — stop, keep the last good checkpoint
+        if not np.isfinite(loss_mean).all():
+            print(f"divergence detected at epoch {epoch + 1} "
+                  f"(non-finite training loss); stopping — best checkpoint "
+                  f"from epoch {best_epoch + 1} is preserved", flush=True)
+            break
+
         val_metric = validate_epoch(eval_step, params, valid_loader)
         loss_val.append(val_metric)
 
