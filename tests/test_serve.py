@@ -35,3 +35,25 @@ def test_predictor_multi_resolution(tmp_path):
     assert len(pred._compiled) == 2
     _ = pred(make_batch(64))
     assert len(pred._compiled) == 2
+
+
+def test_predictor_with_mesh():
+    from galerkin_transformer_tpu.parallel import make_mesh
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=1, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    model = SimpleTransformer.from_config(cfg)
+    n, b = 64, 8
+    pos = np.linspace(0, 1, n, dtype=np.float32)[None, :, None].repeat(b, 0)
+    batch = dict(node=np.ones((b, n, 1), np.float32), pos=pos, grid=pos)
+    params = model.init(jax.random.key(0), jnp.asarray(batch["node"]), None,
+                        jnp.asarray(batch["pos"]),
+                        jnp.asarray(batch["grid"]))["params"]
+    from galerkin_transformer_tpu.serve import Predictor
+    mesh = make_mesh(data=8, seq=1)
+    pred = Predictor(model, params, mesh=mesh)
+    out = pred(batch)
+    assert out.shape == (b, n, 1)
+    # matches single-device inference
+    single = Predictor(model, params)
+    np.testing.assert_allclose(out, single(batch), rtol=1e-5, atol=1e-6)
