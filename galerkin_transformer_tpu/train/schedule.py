@@ -14,6 +14,10 @@ def onecycle_schedule(max_lr: float, total_steps: int,
                       pct_start: float = 0.2,
                       div_factor: float = 1e4,
                       final_div_factor: float = 1e4):
+    # optax's piecewise boundaries degenerate (NaN lr) when the warmup
+    # phase rounds to zero steps; clamp so tiny smoke runs stay finite
+    total_steps = max(int(total_steps), 2)
+    pct_start = max(pct_start, 1.0 / total_steps)
     return optax.cosine_onecycle_schedule(
         transition_steps=total_steps,
         peak_value=max_lr,

@@ -80,6 +80,9 @@ def run_train(train_step: Callable,
 
     ckpt_path = os.path.join(model_save_path, model_name)
     result_path = os.path.join(model_save_path, result_name)
+    result = TrainResult(best_val_epoch=best_epoch, best_val_metric=best_val,
+                         loss_train=np.zeros((0,)), loss_val=np.zeros((0,)),
+                         lr_history=np.zeros((0,)))
 
     if resume and os.path.exists(ckpt_path):
         from .checkpoint import load_checkpoint
