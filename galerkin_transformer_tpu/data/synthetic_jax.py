@@ -114,6 +114,7 @@ def _darcy_cg(coeff, n_grid: int, max_iters: int = 2000, tol: float = 1e-6):
 
         b = jnp.ones((n_grid - 2, n_grid - 2))
         m_inv = 1.0 / diag
+        restart_every = 100  # f32 recurrence residual drifts; re-anchor
 
         def body(state):
             u, r, z, p, rz, it = state
@@ -121,10 +122,22 @@ def _darcy_cg(coeff, n_grid: int, max_iters: int = 2000, tol: float = 1e-6):
             alpha = rz / jnp.vdot(p, ap)
             u = u + alpha * p
             r = r - alpha * ap
-            z = m_inv * r
-            rz_new = jnp.vdot(r, z)
-            beta = rz_new / rz
-            p = z + beta * p
+
+            def restart(args):
+                u, r = args
+                r_true = b - apply_A(u)
+                z = m_inv * r_true
+                return r_true, z, z, jnp.vdot(r_true, z)
+
+            def keep(args):
+                u, r = args
+                z = m_inv * r
+                rz_new = jnp.vdot(r, z)
+                beta = rz_new / rz
+                return r, z, z * 0.0 + (z + beta * p), rz_new
+
+            r, z, p, rz_new = jax.lax.cond(
+                (it + 1) % restart_every == 0, restart, keep, (u, r))
             return u, r, z, p, rz_new, it + 1
 
         def cond(state):
