@@ -157,7 +157,7 @@ def _darcy_cg(coeff, n_grid: int, max_iters: int = 2000, tol: float = 1e-6):
 
 def darcy_cg_jax(n_samples: int = 64, n_grid: int = 421,
                  seed: int = 1127802, hi: float = 12.0, lo: float = 3.0,
-                 batch: int = 16) -> tuple:
+                 batch: int = 16, max_iters: int = 12000) -> tuple:
     """Device-side Darcy data generation: thresholded-GRF coefficients and
     FD solutions via batched CG.  Same contract as synthetic.darcy_fd."""
     key = jax.random.key(seed)
@@ -165,7 +165,8 @@ def darcy_cg_jax(n_samples: int = 64, n_grid: int = 421,
     coeff = jnp.where(g >= 0, hi, lo)
     sols = []
     for i in range(0, n_samples, batch):
-        sols.append(_darcy_cg(coeff[i:i + batch], n_grid))
+        sols.append(_darcy_cg(coeff[i:i + batch], n_grid,
+                              max_iters=max_iters))
     sol = jnp.concatenate(sols, axis=0)
     return (np.asarray(coeff, dtype=np.float64),
             np.asarray(sol, dtype=np.float64))
