@@ -23,6 +23,52 @@ BATCH = 8
 WARMUP = 3
 ITERS = 10
 
+# Per-chip peaks for the roofline/MFU denominators.  Matmul peak is the
+# bf16 MXU number (XLA's default-precision f32 matmul runs as bf16 passes
+# with f32 accumulation on TPU, so bf16 peak is the honest ceiling).
+_CHIP_PEAKS = {  # device_kind substring -> (matmul TFLOP/s, HBM GB/s)
+    "v5 lite": (197.0, 819.0),   # TPU v5e
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v4": (275.0, 1228.0),
+    "v6 lite": (918.0, 1640.0),  # TPU v6e (Trillium)
+    "v6e": (918.0, 1640.0),
+}
+
+
+def _chip_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peaks in _CHIP_PEAKS.items():
+        if sub in kind:
+            return peaks
+    return (None, None)
+
+
+def _roofline(fn, args, dt):
+    """FLOPs + HBM bytes from XLA cost analysis / measured step time,
+    against the chip's peak: the defensible absolute perf numbers."""
+    from galerkin_transformer_tpu.utils.profiling import compiled_cost
+
+    try:
+        cost = compiled_cost(fn, *args)
+    except Exception:
+        return {}
+    flops = cost.get("flops")
+    hbm = cost.get("bytes accessed")
+    peak_tf, peak_bw = _chip_peaks()
+    out = {}
+    if flops and flops > 0:
+        out["tflops_per_s"] = round(flops / dt / 1e12, 2)
+        if peak_tf:
+            out["mfu_pct"] = round(100 * flops / dt / (peak_tf * 1e12), 2)
+    if hbm and hbm > 0:
+        out["hbm_gb_per_s"] = round(hbm / dt / 2**30, 1)
+        if peak_bw:
+            out["hbm_util_pct"] = round(100 * (hbm / dt / 2**30) / peak_bw, 1)
+    return out
+
 
 def bench_ours():
     import jax
@@ -63,7 +109,7 @@ def bench_ours():
         params, opt_state, key, losses = train_step(params, opt_state, batch, key)
     jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / ITERS
-    return dt
+    return dt, train_step, (params, opt_state, batch, key)
 
 
 def bench_reference():
@@ -121,17 +167,63 @@ def bench_reference():
         return None
 
 
+def bench_galerkin_kernel(n=8192, d_model=96, n_head=1, batch=8):
+    """Roofline of the fused Galerkin attention kernel alone (fwd and
+    fwd+bwd) at the BASELINE north-star shape — reported separately from
+    the full train step so the kernel can be judged against the ≥80%%-of-
+    matmul-roofline target directly."""
+    import jax
+    import jax.numpy as jnp
+    from galerkin_transformer_tpu.ops.pallas.galerkin import \
+        galerkin_attention_fused
+
+    d_k = d_model // n_head
+    ks = jax.random.split(jax.random.key(0), 5)
+    q = jax.random.normal(ks[0], (batch, n_head, n, d_k), jnp.float32)
+    k = jax.random.normal(ks[1], (batch, n_head, n, d_k), jnp.float32)
+    v = jax.random.normal(ks[2], (batch, n_head, n, d_k), jnp.float32)
+    sk = jnp.ones((n_head, d_k), jnp.float32)
+    bk = jnp.zeros((n_head, d_k), jnp.float32)
+
+    def fwd(q, k, v):
+        return galerkin_attention_fused(q, k, v, None, sk, bk, sk, bk)[0]
+
+    def fwdbwd(q, k, v):
+        return jax.grad(lambda *a: fwd(*a).sum(), argnums=(0, 1, 2))(q, k, v)
+
+    rows = {}
+    for name, fn in [("fwd", fwd), ("fwd_bwd", fwdbwd)]:
+        jitted = jax.jit(fn)
+        out = None
+        for _ in range(WARMUP):
+            out = jitted(q, k, v)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = jitted(q, k, v)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / ITERS
+        rows[name] = dict(step_ms=round(dt * 1e3, 3),
+                          **_roofline(fn, (q, k, v), dt))
+    return rows
+
+
 def main():
-    dt = bench_ours()
+    dt, step_fn, step_args = bench_ours()
     points_per_sec = BATCH * N_GRID / dt
     ref_dt = bench_reference()
     vs = (ref_dt / dt) if ref_dt else None
-    print(json.dumps({
+    record = {
         "metric": "ex1_burgers_galerkin_train_step_grid_points_per_sec_per_chip",
         "value": round(points_per_sec, 1),
         "unit": "grid-points/s (n=2048, bsz=8, full train step)",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+        "step_ms": round(dt * 1e3, 3),
+    }
+    record.update(_roofline(step_fn, step_args, dt))
+    if "--roofline" in sys.argv:
+        record["galerkin_kernel_n8192"] = bench_galerkin_kernel()
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

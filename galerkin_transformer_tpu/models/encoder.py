@@ -1,7 +1,7 @@
 """Encoder / decoder blocks (reference: libs/model.py:33-241)."""
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,8 @@ class SimpleTransformerEncoderLayer(nn.Module):
     dropout: Optional[float] = 0.1
     ffn_dropout: Optional[float] = None
     dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
+    seq_mesh: Optional[Any] = None      # sequence-parallel mesh (see layers)
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x, pos=None, weight=None, deterministic: bool = True):
@@ -80,6 +82,8 @@ class SimpleTransformerEncoderLayer(nn.Module):
             use_pallas=(False if self.attn_weight and self.attention_type
                         in ("fourier", "integral", "local") else None),
             dtype=self.dtype,
+            seq_mesh=self.seq_mesh,
+            seq_axis=self.seq_axis,
             name="attn",
         )(x, x, x, pos=pos, weight=weight, deterministic=deterministic)
 

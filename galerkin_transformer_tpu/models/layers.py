@@ -7,7 +7,7 @@ source; deliberate TPU-side changes are called out inline.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +115,12 @@ class SimpleAttention(nn.Module):
     eps: float = 1e-5
     use_pallas: Optional[bool] = None  # None = auto (TPU + fusable config)
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
+    # sequence parallelism: when a Mesh is given, galerkin attention runs
+    # shard_map'd over its seq axis — each shard computes a local d×d
+    # partial KᵀV, one psum (O(d²) comms, sequence-length independent)
+    # yields the global scores (SURVEY §2.8 item 3)
+    seq_mesh: Optional[Any] = None
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(self, query, key, value, pos=None, mask=None, weight=None,
@@ -143,6 +149,32 @@ class SimpleAttention(nn.Module):
         q = split_heads(proj[0](query))
         k = split_heads(proj[1](key))
         v = split_heads(proj[2](value))
+
+        # sequence-parallel path: activations stay sharded over the mesh's
+        # seq axis; the d×d reduction is a local partial sum + one psum
+        if (self.seq_mesh is not None and atype == "galerkin" and self.norm
+                and self.norm_type == "layer" and mask is None):
+            from ..parallel.galerkin import seq_sharded_galerkin_attention
+            sk = self.param("norm_K_scale", nn.initializers.ones, (h, d_k))
+            bk = self.param("norm_K_bias", nn.initializers.zeros, (h, d_k))
+            sv = self.param("norm_V_scale", nn.initializers.ones, (h, d_k))
+            bv = self.param("norm_V_bias", nn.initializers.zeros, (h, d_k))
+            pos_in = pos if (pos is not None and self.pos_dim > 0) else None
+            d_eff = d_k + (self.pos_dim if pos_in is not None else 0)
+            # dropout keep-mask on the tiny d×d scores, drawn OUTSIDE the
+            # shard_map so the RNG stream matches the unsharded paths
+            score_mask = nn.Dropout(self.dropout)(
+                jnp.ones((bsz, h, d_eff, d_eff), q.dtype),
+                deterministic=deterministic)
+            x, p_attn = seq_sharded_galerkin_attention(
+                q, k, v, self.seq_mesh, sk, bk, sv, bv, pos=pos_in,
+                eps=self.eps, seq_axis=self.seq_axis, score_mask=score_mask)
+            out_dim = h * d_eff
+            out = x.transpose(0, 2, 1, 3).reshape(bsz, -1, out_dim)
+            if pos_in is not None:
+                out = nn.Dense(self.d_model, dtype=self.dtype,
+                               name="fc")(out)
+            return out, p_attn
 
         # fused Pallas path: galerkin + per-head LayerNorm on K,V, no mask,
         # no softmax variant — one HBM pass for LN+concat+KᵀV

@@ -97,6 +97,7 @@ class SimpleTransformer(_ConfigurableModel):
     decoder_dropout: Optional[float] = 0.0
     ffn_dropout: Optional[float] = 0.0
     dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
+    seq_mesh: Optional[Any] = None  # sequence-parallel mesh (parallel.galerkin)
 
     @nn.compact
     def __call__(self, node, edge=None, pos=None, grid=None, weight=None,
@@ -170,6 +171,7 @@ class SimpleTransformer(_ConfigurableModel):
                 dropout=self.encoder_dropout,
                 ffn_dropout=self.ffn_dropout,
                 dtype=self.dtype,
+                seq_mesh=self.seq_mesh,
                 name=f"encoder_layer{i}")
             if self.return_attn_weight:
                 x, attn_w = layer(x, pos, weight, deterministic)
@@ -287,6 +289,7 @@ class FourierTransformer2D(_ConfigurableModel):
     downscaler_dropout: Optional[float] = 0.05
     upscaler_dropout: Optional[float] = 0.0
     dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
+    seq_mesh: Optional[Any] = None  # sequence-parallel mesh (parallel.galerkin)
 
     @nn.compact
     def __call__(self, node, edge=None, pos=None, grid=None, weight=None,
@@ -382,6 +385,7 @@ class FourierTransformer2D(_ConfigurableModel):
                 dropout=self.encoder_dropout,
                 ffn_dropout=self.ffn_dropout,
                 dtype=self.dtype,
+                seq_mesh=self.seq_mesh,
                 name=f"encoder_layer{i}")
             if self.return_attn_weight:
                 x, attn_w = layer(x, pos, weight, deterministic)
@@ -494,6 +498,7 @@ class FourierTransformer2DLite(_ConfigurableModel):
     decoder_dropout: Optional[float] = 0.0
     ffn_dropout: Optional[float] = 0.05
     dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
+    seq_mesh: Optional[Any] = None  # sequence-parallel mesh (parallel.galerkin)
 
     @nn.compact
     def __call__(self, node, edge=None, pos=None, grid=None,
@@ -523,6 +528,7 @@ class FourierTransformer2DLite(_ConfigurableModel):
                 ffn_dropout=self.ffn_dropout,
                 pos_dim=self.pos_dim,
                 dtype=self.dtype,
+                seq_mesh=self.seq_mesh,
                 name=f"encoder_layer{i}")(x, pos, None, deterministic)
         if self.dtype is not None:
             x = x.astype(jnp.float32)   # decoder stays f32

@@ -30,14 +30,20 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
                                    pos: Optional[jax.Array] = None,
                                    eps: float = 1e-5,
                                    seq_axis: str = "seq",
-                                   batch_axis: Optional[str] = "data"):
+                                   batch_axis: Optional[str] = "data",
+                                   score_mask: Optional[jax.Array] = None):
     """Galerkin attention with the sequence dim sharded over `seq_axis`.
 
     query/key/value: (B, H, n, d); optional per-head LN params (H, d) are
     applied to K and V inside the shard (pre-matmul norm, reference
     layers.py:841-867); optional pos (B, n, p) is concatenated after LN.
+    `score_mask` (B, H, d_eff, d_eff) — e.g. a dropout keep-mask — is
+    multiplied into the psum'd score matrix (the reference applies dropout
+    to p_attn, layers.py:723); computing the mask *outside* the shard_map
+    keeps the RNG stream identical to the unsharded paths.
 
-    Returns (B, H, n, d[+p]) with the same sharding as the inputs.
+    Returns (out, p_attn): out (B, H, n, d[+p]) sharded like the inputs,
+    p_attn (B, H, d_eff, d_eff) replicated over `seq_axis`.
     """
     n_shards = mesh.shape[seq_axis]
     n_global = key.shape[-2]
@@ -46,6 +52,7 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
     bspec = batch_axis if batch_axis in mesh.axis_names else None
     qkv_spec = P(bspec, None, seq_axis, None)
     pos_spec = P(bspec, seq_axis, None)
+    score_spec = P(bspec, None, None, None)
 
     in_specs = [qkv_spec, qkv_spec, qkv_spec]
     args = [query, key, value]
@@ -55,6 +62,9 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
     if pos is not None:
         in_specs.append(pos_spec)
         args.append(pos)
+    if score_mask is not None:
+        in_specs.append(score_spec)
+        args.append(score_mask)
 
     def inner(q, k, v, *rest):
         rest = list(rest)
@@ -64,7 +74,7 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
             k = per_head_layer_norm(k, sk, bk, eps=eps)
             v = per_head_layer_norm(v, sv, bv, eps=eps)
         if pos is not None:
-            p_loc = rest[0]
+            p_loc = rest.pop(0)
             ph = jnp.broadcast_to(
                 p_loc[:, None, :, :],
                 (q.shape[0], q.shape[1], p_loc.shape[1], p_loc.shape[2]),
@@ -76,9 +86,13 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
         partial_scores = jnp.matmul(jnp.swapaxes(k, -2, -1), v,
                                     preferred_element_type=jnp.float32)
         scores = jax.lax.psum(partial_scores, seq_axis) / n_global
-        return jnp.matmul(q, scores.astype(q.dtype),
-                          preferred_element_type=jnp.float32).astype(q.dtype)
+        scores = scores.astype(q.dtype)
+        if score_mask is not None:
+            scores = scores * rest.pop(0).astype(q.dtype)
+        out = jnp.matmul(q, scores,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        return out, scores
 
     return jax.shard_map(inner, mesh=mesh,
                          in_specs=tuple(in_specs),
-                         out_specs=qkv_spec)(*args)
+                         out_specs=(qkv_spec, score_spec))(*args)

@@ -22,7 +22,7 @@ def test_seq_sharded_galerkin_matches_dense(mesh8):
     k = jax.random.normal(jax.random.key(1), (b, h, n, d))
     v = jax.random.normal(jax.random.key(2), (b, h, n, d))
     want, _ = galerkin_attention(q, k, v)
-    got = seq_sharded_galerkin_attention(q, k, v, mesh8)
+    got, _ = seq_sharded_galerkin_attention(q, k, v, mesh8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -46,8 +46,8 @@ def test_seq_sharded_galerkin_with_ln_and_pos(mesh8):
     vd = jnp.concatenate([ph, vn], -1)
     want, _ = galerkin_attention(qd, kd, vd)
 
-    got = seq_sharded_galerkin_attention(q, k, v, mesh8, sk, bk, sv, bv,
-                                         pos=pos)
+    got, _ = seq_sharded_galerkin_attention(q, k, v, mesh8, sk, bk, sv, bv,
+                                            pos=pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -90,3 +90,70 @@ def test_data_parallel_train_step_runs(mesh8):
     assert np.isfinite(float(losses[0]))
     m = eval_step(params2, batch8)
     assert np.isfinite(float(m))
+
+
+def test_seq_parallel_train_step_matches_unsharded(mesh8):
+    """End-to-end sequence-parallel training (SURVEY §2.8 item 3): a 2-layer
+    galerkin SimpleTransformer trained on Mesh('data'=2,'seq'=4) with
+    activations sequence-sharded must track the unsharded step to ~1e-5."""
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+    from galerkin_transformer_tpu.train.schedule import adam_onecycle
+    from galerkin_transformer_tpu.train.steps import make_burgers_steps
+    from galerkin_transformer_tpu.utils import load_config
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin",
+               encoder_dropout=0.0, ffn_dropout=0.0, dropout=0.0,
+               decoder_dropout=0.0)
+    base = SimpleTransformer.from_config(cfg)
+    seq = SimpleTransformer.from_config(cfg, seq_mesh=mesh8)
+
+    n, bsz = 64, 4
+    rng = np.random.default_rng(0)
+    node = jnp.asarray(rng.standard_normal((bsz, n, 1)), jnp.float32)
+    edge = jnp.ones((bsz, 1))
+    pos = jnp.linspace(0, 1, n)[None, :, None].repeat(bsz, 0)
+    target = jnp.asarray(rng.standard_normal((bsz, n, 2)), jnp.float32)
+    batch = dict(node=node, edge=edge, pos=pos, grid=pos, target=target)
+
+    params = base.init(jax.random.key(0), node, edge, pos, pos)["params"]
+    # identical param trees: the seq path creates the same names/shapes
+    params_seq = seq.init(jax.random.key(0), node, edge, pos, pos)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_seq)
+
+    tx, _ = adam_onecycle(1e-3, 10)
+    loss = WeightedL2Loss(regularizer=True, h=1 / n, gamma=0.1)
+    metric = WeightedL2Loss(regularizer=False, h=1 / n)
+    step_base, eval_base = make_burgers_steps(base, loss, metric, tx,
+                                              donate=False)
+    step_seq, eval_seq = make_burgers_steps(seq, loss, metric, tx,
+                                            donate=False)
+
+    # sharded placement: batch over 'data', sequence over 'seq'
+    seq_sh = NamedSharding(mesh8, P("data", "seq", None))
+    repl = NamedSharding(mesh8, P())
+    batch_sh = {k: jax.device_put(v, seq_sh if v.ndim == 3
+                                  else NamedSharding(mesh8, P("data")))
+                for k, v in batch.items()}
+
+    p_b, o_b = params, tx.init(params)
+    p_s = jax.device_put(params, repl)
+    o_s = jax.device_put(tx.init(params), repl)
+    k_b = jax.random.key(7)
+    k_s = jax.device_put(jax.random.key(7), repl)
+    for _ in range(3):
+        p_b, o_b, k_b, losses_b = step_base(p_b, o_b, batch, k_b)
+        p_s, o_s, k_s, losses_s = step_seq(p_s, o_s, batch_sh, k_s)
+        np.testing.assert_allclose(float(losses_b[0]), float(losses_s[0]),
+                                   rtol=2e-5, atol=2e-5)
+    m_b, m_s = eval_base(p_b, batch), eval_seq(p_s, batch_sh)
+    np.testing.assert_allclose(float(m_b), float(m_s), rtol=2e-5, atol=2e-5)
+    # parameters stay in lockstep too
+    leaves_b = jax.tree.leaves(p_b)
+    leaves_s = jax.tree.leaves(p_s)
+    for a, b in zip(leaves_b, leaves_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
