@@ -64,9 +64,13 @@ def _roofline(fn, args, dt):
         if peak_tf:
             out["mfu_pct"] = round(100 * flops / dt / (peak_tf * 1e12), 2)
     if hbm and hbm > 0:
-        out["hbm_gb_per_s"] = round(hbm / dt / 2**30, 1)
+        # cost-analysis 'bytes accessed' counts every HLO buffer access,
+        # including VMEM-resident reuse inside fusions — it is an upper
+        # bound on HBM traffic, so >100% of peak BW means VMEM-fused.
+        out["bytes_accessed_gb_per_s"] = round(hbm / dt / 2**30, 1)
         if peak_bw:
-            out["hbm_util_pct"] = round(100 * (hbm / dt / 2**30) / peak_bw, 1)
+            out["bytes_accessed_vs_hbm_peak_pct"] = round(
+                100 * (hbm / dt / 2**30) / peak_bw, 1)
     return out
 
 
@@ -98,17 +102,16 @@ def bench_ours():
     opt_state = tx.init(params)
     train_step, _ = make_burgers_steps(
         model, WeightedL2Loss(regularizer=True, h=h, gamma=0.1),
-        WeightedL2Loss(regularizer=False, h=h), tx)
+        WeightedL2Loss(regularizer=False, h=h), tx, donate=False)
 
+    # chained in-program timing with a host fetch: on the axon tunnel,
+    # block_until_ready confirms dispatch, not completion (see
+    # utils/profiling.py::_chained_runner) — a python dispatch loop here
+    # over-reports throughput by >10x.
+    from galerkin_transformer_tpu.utils.profiling import measure
     key = jax.random.key(0)
-    for _ in range(WARMUP):
-        params, opt_state, key, losses = train_step(params, opt_state, batch, key)
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, opt_state, key, losses = train_step(params, opt_state, batch, key)
-    jax.block_until_ready(losses)
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = measure(train_step, params, opt_state, batch, key,
+                 iters=3 * ITERS, iters_lo=ITERS)
     return dt, train_step, (params, opt_state, batch, key)
 
 
@@ -168,12 +171,16 @@ def bench_reference():
 
 
 def bench_galerkin_kernel(n=8192, d_model=96, n_head=1, batch=8):
-    """Roofline of the fused Galerkin attention kernel alone (fwd and
-    fwd+bwd) at the BASELINE north-star shape — reported separately from
-    the full train step so the kernel can be judged against the ≥80%%-of-
-    matmul-roofline target directly."""
+    """Roofline of the full Galerkin attention op (LN on K,V + pos concat +
+    both matmuls; fwd and fwd+bwd) at the BASELINE north-star shape.
+
+    'blocked' is the production path (ops/attention.py:
+    galerkin_attention_pos_blocked — concat-free block matmuls);
+    'pallas' is the fused kernel kept for reference / beyond-VMEM shapes."""
     import jax
     import jax.numpy as jnp
+    from galerkin_transformer_tpu.ops.attention import (
+        galerkin_attention_pos_blocked, per_head_layer_norm)
     from galerkin_transformer_tpu.ops.pallas.galerkin import \
         galerkin_attention_fused
 
@@ -182,29 +189,31 @@ def bench_galerkin_kernel(n=8192, d_model=96, n_head=1, batch=8):
     q = jax.random.normal(ks[0], (batch, n_head, n, d_k), jnp.float32)
     k = jax.random.normal(ks[1], (batch, n_head, n, d_k), jnp.float32)
     v = jax.random.normal(ks[2], (batch, n_head, n, d_k), jnp.float32)
+    pos = jnp.linspace(0, 1, n, dtype=jnp.float32)[None, :, None]
+    pos = jnp.broadcast_to(pos, (batch, n, 1))
     sk = jnp.ones((n_head, d_k), jnp.float32)
     bk = jnp.zeros((n_head, d_k), jnp.float32)
 
-    def fwd(q, k, v):
-        return galerkin_attention_fused(q, k, v, None, sk, bk, sk, bk)[0]
+    def blocked(q, k, v):
+        kn = per_head_layer_norm(k, sk, bk)
+        vn = per_head_layer_norm(v, sk, bk)
+        return galerkin_attention_pos_blocked(q, kn, vn, pos)[0]
 
-    def fwdbwd(q, k, v):
-        return jax.grad(lambda *a: fwd(*a).sum(), argnums=(0, 1, 2))(q, k, v)
+    def pallas(q, k, v):
+        return galerkin_attention_fused(q, k, v, pos, sk, bk, sk, bk)[0]
 
+    from galerkin_transformer_tpu.utils.profiling import measure
     rows = {}
-    for name, fn in [("fwd", fwd), ("fwd_bwd", fwdbwd)]:
-        jitted = jax.jit(fn)
-        out = None
-        for _ in range(WARMUP):
-            out = jitted(q, k, v)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = jitted(q, k, v)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / ITERS
-        rows[name] = dict(step_ms=round(dt * 1e3, 3),
+    for name, fwd in [("blocked", blocked), ("pallas", pallas)]:
+        def fwdbwd(q, k, v, fwd=fwd):
+            return jax.grad(lambda *a: fwd(*a).sum(), argnums=(0, 1, 2))(
+                q, k, v)
+        r = {}
+        for tag, fn in [("fwd", fwd), ("fwd_bwd", fwdbwd)]:
+            dt = measure(fn, q, k, v, iters=3 * ITERS, iters_lo=ITERS)
+            r[tag] = dict(step_ms=round(dt * 1e3, 4),
                           **_roofline(fn, (q, k, v), dt))
+        rows[name] = r
     return rows
 
 

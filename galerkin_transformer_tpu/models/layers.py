@@ -176,13 +176,16 @@ class SimpleAttention(nn.Module):
                                name="fc")(out)
             return out, p_attn
 
-        # fused Pallas path: galerkin + per-head LayerNorm on K,V, no mask,
-        # no softmax variant — one HBM pass for LN+concat+KᵀV
+        # fused Pallas path (opt-in via use_pallas=True): galerkin +
+        # per-head LayerNorm on K,V, no mask.  NOT the default: honest
+        # chained-execution timing shows plain XLA runs this op at HBM
+        # roofline and keeps the working set VMEM-resident, while the
+        # pallas_call ABI forces HBM round-trips (2.4x slower fwd+bwd at
+        # n=8192, d=96 — docs/PERFORMANCE.md).  The kernel is kept as the
+        # reference fused implementation and for shapes exceeding VMEM.
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = (atype == "galerkin" and self.norm
-                          and self.norm_type == "layer" and mask is None
-                          and jax.default_backend() == "tpu")
+            use_pallas = False
         if use_pallas and atype == "galerkin" and self.norm \
                 and self.norm_type == "layer":
             from ..ops.pallas.galerkin import galerkin_attention_fused
@@ -223,17 +226,29 @@ class SimpleAttention(nn.Module):
                 k = head_norm(k, "K")
                 q = head_norm(q, "Q")
 
+        dropout_mod = nn.Dropout(self.dropout)
+
+        def attn_dropout(scores):
+            return dropout_mod(scores, deterministic=deterministic)
+
+        # block-decomposed galerkin+pos path: the (n, d+p) concatenations
+        # are never materialized (ops/attention.py:galerkin_attention_pos_blocked)
+        if (atype == "galerkin" and mask is None
+                and pos is not None and self.pos_dim > 0):
+            assert pos.shape[-1] == self.pos_dim
+            x, p_attn = A.galerkin_attention_pos_blocked(
+                q, k, v, pos, score_dropout=attn_dropout)
+            out_dim = h * (d_k + self.pos_dim)
+            out = x.transpose(0, 2, 1, 3).reshape(bsz, -1, out_dim)
+            out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
+            return out, p_attn
+
         if pos is not None and self.pos_dim > 0:
             assert pos.shape[-1] == self.pos_dim
             p = jnp.broadcast_to(pos[:, None, :, :],
                                  (bsz, h, pos.shape[1], self.pos_dim))
             p = p.astype(q.dtype)
             q, k, v = (jnp.concatenate([p, x], axis=-1) for x in (q, k, v))
-
-        dropout_mod = nn.Dropout(self.dropout)
-
-        def attn_dropout(scores):
-            return dropout_mod(scores, deterministic=deterministic)
 
         if is_galerkin:
             n = q.shape[-2]

@@ -46,6 +46,44 @@ def galerkin_attention(query: jax.Array, key: jax.Array, value: jax.Array,
     return out, scores
 
 
+def galerkin_attention_pos_blocked(query: jax.Array, key: jax.Array,
+                                   value: jax.Array, pos: jax.Array,
+                                   score_dropout=None):
+    """Galerkin attention with positional concat, in block form.
+
+    Mathematically identical to concatenating pos in front of q, k, v
+    (reference layers.py:869-874) and running ``[p,q] @ ([p,k]ᵀ[p,v] / n)``,
+    but the (n, d+p) concatenated operands are never materialized: the
+    score matrix is assembled from four block matmuls on the raw arrays.
+    On TPU this avoids three extra HBM round-trips AND the 97→128 lane
+    padding the concatenated layout would pay (measured 1.45x fwd+bwd at
+    n=8192, d=96 — docs/PERFORMANCE.md).
+
+    q, k, v: (B, H, n, d) — k, v already normalized by the caller;
+    pos: (B, n, p).  Returns (out (B, H, n, p+d), p_attn (B, H, p+d, p+d)).
+    """
+    n = query.shape[-2]
+    b, h = query.shape[0], query.shape[1]
+    p = pos.shape[-1]
+    ph = jnp.broadcast_to(pos[:, None], (b, h, n, p)).astype(query.dtype)
+
+    def mm(a, b_):
+        return jnp.matmul(a, b_, preferred_element_type=jnp.float32
+                          ).astype(query.dtype)
+
+    pT = jnp.swapaxes(ph, -2, -1)
+    kT = jnp.swapaxes(key, -2, -1)
+    # S = [[pᵀp, pᵀv], [kᵀp, kᵀv]] / n   — (p+d) × (p+d), assembled tiny
+    top = jnp.concatenate([mm(pT, ph), mm(pT, value)], axis=-1)
+    bot = jnp.concatenate([mm(kT, ph), mm(kT, value)], axis=-1)
+    p_attn = jnp.concatenate([top, bot], axis=-2) / n
+    if score_dropout is not None:
+        p_attn = score_dropout(p_attn)
+    # out = [p, q] @ S without materializing [p, q]
+    out = mm(ph, p_attn[..., :p, :]) + mm(query, p_attn[..., p:, :])
+    return out, p_attn
+
+
 def fourier_attention(query: jax.Array, key: jax.Array, value: jax.Array,
                       mask: Optional[jax.Array] = None):
     """Unnormalized quadratic attention: ``out = (Q Kᵀ / (√d · n)) V``.

@@ -35,29 +35,93 @@ def compiled_cost(fn: Callable, *args, **kwargs) -> dict:
     return out
 
 
-def profile_step(fn: Callable, *args, warmup: int = 2, iters: int = 10,
-                 trace_dir: Optional[str] = None) -> dict:
-    """Steady-state timing of a jitted callable, optional profiler trace."""
-    jitted = jax.jit(fn)
-    out = None
-    for _ in range(warmup):
-        out = jitted(*args)
-    jax.block_until_ready(out)
+def _chained_runner(fn: Callable):
+    """One jitted program that executes `fn` a (runtime-dynamic) number of
+    times with a forced data dependence between iterations (a ~0
+    perturbation of every float arg by one element of the previous output).
 
+    Why: on remote-executed backends (the axon TPU tunnel),
+    ``block_until_ready`` confirms dispatch, not completion, and repeated
+    identical dispatches can be elided — a naive python timing loop then
+    measures dispatch throughput, not device time.  Chaining inside one
+    program and fetching one element at the end measures real execution.
+    """
+    import jax.numpy as jnp
+
+    def run(n_iters, args):
+        def body(_, args):
+            out = fn(*args)
+            # touch one element of EVERY float output leaf so no part of
+            # fn's computation is dead-code-eliminated inside the loop
+            eps = sum(l.reshape(-1)[0].astype(jnp.float32)
+                      for l in jax.tree.leaves(out)
+                      if hasattr(l, "dtype")
+                      and jnp.issubdtype(l.dtype, jnp.floating)) * 1e-38
+
+            def perturb(a):
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                          jnp.floating):
+                    return a + eps.astype(a.dtype)
+                return a
+
+            return jax.tree.map(perturb, args)
+
+        return jax.lax.fori_loop(0, n_iters, body, args,
+                                 unroll=False)
+
+    return jax.jit(run)
+
+
+def measure(fn: Callable, *args, iters: int = 20, iters_lo: int = 5,
+            min_signal_s: float = 0.05, repeats: int = 3,
+            max_iters: int = 100_000) -> float:
+    """Seconds per execution of `fn(*args)`, robust to async/remote dispatch.
+
+    Runs the chained loop at two iteration counts and takes the slope, so
+    the constant dispatch + host-fetch round-trip cancels; escalates the
+    iteration count until the slope signal dominates round-trip jitter
+    (needed for sub-0.1 ms kernels through a multi-ms tunnel).
+    """
+    import jax.numpy as jnp
+
+    runner = _chained_runner(fn)
+    args_t = tuple(args)
+
+    def run_t(n):
+        t0 = time.perf_counter()
+        res = runner(jnp.int32(n), args_t)
+        np.asarray(jax.numpy.ravel(jax.tree.leaves(res)[0])[0])
+        return time.perf_counter() - t0
+
+    run_t(1)  # compile + warm
+    n_lo, n_hi = max(1, iters_lo), max(iters, iters_lo + 1)
+    while True:
+        t_lo = min(run_t(n_lo) for _ in range(repeats))
+        t_hi = min(run_t(n_hi) for _ in range(repeats))
+        signal = t_hi - t_lo
+        if signal >= min_signal_s or n_hi >= max_iters:
+            return max(signal, 1e-9) / (n_hi - n_lo)
+        n_lo, n_hi = n_hi, min(n_hi * 5, max_iters)
+
+
+def profile_step(fn: Callable, *args, warmup: int = 2, iters: int = 20,
+                 trace_dir: Optional[str] = None) -> dict:
+    """Steady-state timing of a jitted callable, optional profiler trace.
+
+    Timing uses `measure` (chained in-program iterations, host fetch) —
+    see _chained_runner for why wall-clocking dispatches is wrong here.
+    """
+    del warmup  # the chained harness warms itself
     if trace_dir:
+        jitted = jax.jit(fn)
+        out = jitted(*args)
+        np.asarray(jax.numpy.ravel(jax.tree.leaves(out)[0])[0])
         with jax.profiler.trace(trace_dir):
             out = jitted(*args)
             jax.block_until_ready(out)
 
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = jitted(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times = np.asarray(times)
-    return dict(mean_s=float(times.mean()), min_s=float(times.min()),
-                std_s=float(times.std()), iters=iters)
+    t = measure(fn, *args, iters=iters)
+    return dict(mean_s=t, min_s=t, std_s=0.0, iters=iters)
 
 
 class ProfileResult:
