@@ -41,6 +41,8 @@ class DarcyDataset:
                  valid_len=0.0,
                  n_samples_synthetic: int = 64,
                  return_edge: bool = False,
+                 sparse_edge: bool = False,
+                 online_features: bool = False,
                  return_lap_only: bool = True,
                  return_boundary: bool = True,
                  noise: float = 0.0,
@@ -60,6 +62,8 @@ class DarcyDataset:
         self.n_krylov = n_krylov
         self.n_samples_synthetic = n_samples_synthetic
         self.return_edge = return_edge
+        self.sparse_edge = sparse_edge
+        self.online_features = online_features
         self.normalization = normalization
         self.normalizer_x = normalizer_x
         self.renormalization = renormalization
@@ -127,10 +131,16 @@ class DarcyDataset:
                                       subsample=self.subsample_nodes,
                                       return_boundary=self.return_boundary)
 
-        if self.return_edge:
+        if self.return_edge and self.online_features:
+            # features assembled per-sample in __getitem__ (ft.py:811-823);
+            # keep the raw fine-grid coefficients for that
+            self._a_fine = a
+            self.edge_features = self.mass_features = None
+        elif self.return_edge:
             self.edge_features, self.mass_features = self.get_edge(a)
         else:
             self.edge_features = self.mass_features = None
+        self._edge_pattern = None  # (rows, cols) union cache for sparse_edge
 
         if self.inverse_problem:
             nodes, targets = targets, nodes
@@ -217,7 +227,15 @@ class DarcyDataset:
 
     @staticmethod
     def get_scaler_sizes(n_f: int, n_c: int, scale_factor: bool = True):
-        """Interp scale-factor / size schedule (ft.py:698-714)."""
+        """Interp scale-factor / size schedule (ft.py:698-714).
+
+        The reference's two-stage scale-factor rounding only lands exactly
+        on n_c for 421-class grid pairs (SURVEY hard-part #1); for any pair
+        where floor(floor(n_f·s)·s) != n_c the factors are silently replaced
+        by the explicit-size schedule, so small-grid CLI runs (e.g.
+        --n-grid-fine 61) produce consistent coarse shapes instead of an
+        off-by-one crash in the encoder.
+        """
         factor = np.sqrt(n_c / n_f)
         factor = np.round(factor, 4)
         last_digit = float(str(factor)[-1])
@@ -229,7 +247,13 @@ class DarcyDataset:
         n_m = round(n_f * factor) - 1
         up_size = ((n_m, n_m), (n_f, n_f))
         down_size = ((n_m, n_m), (n_c, n_c))
-        return (down_factor, up_size) if scale_factor else (down_size, up_size)
+        if scale_factor:
+            from ..ops.interp import resolve_interp_size
+            mid = resolve_interp_size(n_f, down_factor)
+            end = resolve_interp_size(mid, down_factor)
+            if end == (n_c, n_c):
+                return down_factor, up_size
+        return down_size, up_size
 
     @staticmethod
     def get_interp2d(x, n_f: int, n_c: int):
@@ -251,12 +275,13 @@ class DarcyDataset:
         a_coarse = fem.pooling_2d(a, kernel_size=(ks, ks), padding=True)
         k_elem = a_coarse.reshape(len(a), -1)[:, elems].mean(axis=2)
 
-        native = None
-        if not self.renormalization:
+        native = getattr(self, "_fem_plan", None)
+        if native is None and not self.renormalization:
             try:
                 from ..ops.fem_native import FemPlan, available
                 if available():
                     native = FemPlan(nodes, elems)
+                    self._fem_plan = native  # reused across online calls
             except Exception:
                 native = None
 
@@ -285,22 +310,61 @@ class DarcyDataset:
             mass.append(m)
         return edges, mass
 
+    def _sparse_pattern(self, mats):
+        """Union sparsity pattern across edge channels — fixed by the mesh,
+        so it is computed once and shared by every sample."""
+        if self._edge_pattern is None:
+            union = sum(abs(m) for m in mats).tocoo()
+            self._edge_pattern = (union.row.astype(np.int32),
+                                  union.col.astype(np.int32))
+        return self._edge_pattern
+
+    def _edges_sparse(self, mats):
+        """(values (nse, C), indices (nse, 2)) — the TPU-native counterpart
+        of the reference's csr_to_sparse output (ft.py:800-803): the dense
+        (n², n², C) batch is scattered on device (ops/sparse.py), so
+        host→device traffic is O(nse) instead of O(n⁴)."""
+        rows, cols = self._sparse_pattern(mats)
+        values = np.stack(
+            [np.asarray(m[rows, cols]).ravel() for m in mats],
+            axis=-1).astype(np.float32)
+        indices = np.stack([rows, cols], axis=-1)
+        return values, indices
+
     def __getitem__(self, index: int) -> dict:
         pos = self.pos[:, :2].astype(np.float32)
-        if self.return_edge:
-            edge = np.stack([m.toarray() for m in self.edge_features[index]],
-                            axis=-1).astype(np.float32)
+        edge_indices = None
+        if self.return_edge and self.online_features:
+            # assemble this sample's FEM features on the fly (ft.py:811-823)
+            edges, mass_l = self.get_edge(self._a_fine[index: index + 1])
+            mats, mass_m = edges[0], mass_l[0]
+            if self.sparse_edge:
+                edge, edge_indices = self._edges_sparse(mats)
+            else:
+                edge = np.stack([m.toarray() for m in mats],
+                                axis=-1).astype(np.float32)
+            mass = mass_m.toarray().astype(np.float32)
+        elif self.return_edge:
+            mats = self.edge_features[index]
+            if self.sparse_edge:
+                edge, edge_indices = self._edges_sparse(mats)
+            else:
+                edge = np.stack([m.toarray() for m in mats],
+                                axis=-1).astype(np.float32)
             mass = self.mass_features[index].toarray().astype(np.float32)
         else:
             edge = np.array([1.0], dtype=np.float32)
             mass = np.array([1.0], dtype=np.float32)
         if self.subsample_attn < 5:
             pos = np.array([1.0], dtype=np.float32)
-        return dict(node=self.node_features[index],
-                    coeff=self.coeff[index].astype(np.float32),
-                    pos=pos,
-                    grid=self.pos_fine.astype(np.float32),
-                    edge=edge,
-                    mass=mass,
-                    target=self.target[index],
-                    target_grad=self.target_grad[index])
+        out = dict(node=self.node_features[index],
+                   coeff=self.coeff[index].astype(np.float32),
+                   pos=pos,
+                   grid=self.pos_fine.astype(np.float32),
+                   edge=edge,
+                   mass=mass,
+                   target=self.target[index],
+                   target_grad=self.target_grad[index])
+        if edge_indices is not None:
+            out["edge_indices"] = edge_indices
+        return out

@@ -100,6 +100,36 @@ def convert_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Tuple[dict, list]
                 val.transpose(2, 3, 1, 0))
             continue
 
+        # graph feature extractors: GCN / GAT (model.py:376-469)
+        m = re.match(
+            r"feat_extract\.edge_learner\.(lap_conv[12])\.conv\.0\.weight",
+            key)
+        if m:
+            # torch conv (out,in,kh,kw) -> flax NHWC kernel (kh,kw,in,out)
+            put(("feat_extract", "edge_learner", m.group(1), "conv",
+                 "kernel"), val.transpose(2, 3, 1, 0))
+            continue
+        m = re.match(r"feat_extract\.gcn_layer0\.(weight|bias)", key)
+        if m:
+            # GraphConvolution.weight is already (in, out) — no transpose
+            put(("feat_extract", "gcn_layer0", m.group(1)), val)
+            continue
+        m = re.match(r"feat_extract\.gcn_layers\.(\d+)\.(weight|bias)", key)
+        if m:
+            # reference ModuleList gcn_layers[i] is layer i+1 here
+            put(("feat_extract", f"gcn_layer{int(m.group(1)) + 1}",
+                 m.group(2)), val)
+            continue
+        m = re.match(r"feat_extract\.gat_layer0\.(W|a)", key)
+        if m:
+            put(("feat_extract", "gat_layer0", m.group(1)), val)
+            continue
+        m = re.match(r"feat_extract\.gat_layers\.(\d+)\.(W|a)", key)
+        if m:
+            put(("feat_extract", f"gat_layer{int(m.group(1)) + 1}",
+                 m.group(2)), val)
+            continue
+
         # feature extractor (Identity lift)
         m = re.match(r"feat_extract\.id\.(weight|bias)", key)
         if m:

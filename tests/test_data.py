@@ -165,3 +165,47 @@ def test_burgers_cole_hopf_solves_burgers():
         u_num = np.fft.irfft((uh + dt * adv) * E, n)
     rel = np.linalg.norm(u_num - u[0]) / np.linalg.norm(u[0])
     assert rel < 1e-3
+
+
+def test_darcy_sparse_edge_matches_dense():
+    """sparse_edge=True (reference ft.py:800-803): compact (values, indices)
+    whose on-device scatter reproduces the dense edge batch, at a 61-grid
+    coarse mesh."""
+    import jax.numpy as jnp
+    from galerkin_transformer_tpu.ops.sparse import densify_edges
+
+    common = dict(n_grid_fine=61, subsample_nodes=1, subsample_attn=1,
+                  n_samples_synthetic=3, train_data=True, train_len=2,
+                  return_edge=True, n_krylov=2)
+    dense_ds = DarcyDataset(**common)
+    sparse_ds = DarcyDataset(sparse_edge=True, **common)
+    n_c = 61 * 61
+    for i in range(2):
+        d = dense_ds[i]
+        s = sparse_ds[i]
+        assert s["edge_indices"].shape[-1] == 2
+        nse = s["edge_indices"].shape[0]
+        assert nse < 0.02 * n_c * n_c  # actually sparse
+        dense_from_sparse = np.asarray(densify_edges(
+            jnp.asarray(s["edge_indices"]), jnp.asarray(s["edge"]), n_c))
+        np.testing.assert_allclose(dense_from_sparse, d["edge"], atol=1e-6)
+        np.testing.assert_allclose(s["mass"], d["mass"], atol=1e-6)
+    # the sparsity pattern is mesh-determined: shared across samples
+    np.testing.assert_array_equal(sparse_ds[0]["edge_indices"],
+                                  sparse_ds[1]["edge_indices"])
+
+
+def test_darcy_online_features_match_precomputed():
+    """online_features=True (reference ft.py:811-823): per-sample assembly
+    in __getitem__ equals the precomputed features."""
+    common = dict(n_grid_fine=25, subsample_nodes=1, subsample_attn=6,
+                  n_samples_synthetic=3, train_data=True, train_len=2,
+                  return_edge=True, n_krylov=2)
+    pre = DarcyDataset(**common)
+    online = DarcyDataset(online_features=True, **common)
+    assert online.edge_features is None  # nothing precomputed
+    for i in range(2):
+        np.testing.assert_allclose(online[i]["edge"], pre[i]["edge"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(online[i]["mass"], pre[i]["mass"],
+                                   atol=1e-6)

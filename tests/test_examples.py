@@ -30,3 +30,27 @@ def test_ex4_driver_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setattr(ex4, "MODEL_PATH", str(tmp_path))
     val = ex4.main(["--epochs", "2", "--n-samples", "16", "--batch-size", "2"])
     assert val < 10.0
+
+
+def test_ex2_driver_end_to_end(tmp_path, monkeypatch):
+    import importlib
+    import galerkin_transformer_tpu.utils.config as cfgmod
+    monkeypatch.setattr(cfgmod, "MODEL_PATH", str(tmp_path))
+    ex2 = importlib.import_module("ex2_darcy")
+    monkeypatch.setattr(ex2, "MODEL_PATH", str(tmp_path))
+    val = ex2.main(["--n-grid-fine", "61", "--epochs", "2",
+                    "--n-samples", "8", "--batch-size", "2",
+                    "--val-batch-size", "2"])
+    assert val == val and val < 1e9  # finite
+
+
+def test_ex3_driver_end_to_end(tmp_path, monkeypatch):
+    import importlib
+    import galerkin_transformer_tpu.utils.config as cfgmod
+    monkeypatch.setattr(cfgmod, "MODEL_PATH", str(tmp_path))
+    ex3 = importlib.import_module("ex3_darcy_inv")
+    monkeypatch.setattr(ex3, "MODEL_PATH", str(tmp_path))
+    val = ex3.main(["--n-grid-fine", "61", "--epochs", "2",
+                    "--n-samples", "8", "--batch-size", "2",
+                    "--val-batch-size", "2", "--noise", "0.01"])
+    assert val == val and val < 1e9  # finite

@@ -105,3 +105,83 @@ def test_load_reference_fourier2d_checkpoint():
     out = np.asarray(ours.apply({"params": params}, jnp.asarray(node), None,
                                 jnp.asarray(pos), jnp.asarray(grid))["preds"])
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_load_reference_gcn_featured_checkpoint():
+    """GCN feature extractor weights (model.py:376-427) round-trip."""
+    import torch
+    from model import SimpleTransformer as RefModel
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.utils import load_config
+    from galerkin_transformer_tpu.utils.torch_compat import \
+        load_reference_checkpoint
+
+    cfg = dict(load_config("ex1_burgers"))
+    cfg.update(n_hidden=33, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin",
+               feat_extract_type="gcn", num_feat_layers=2, edge_feats=6,
+               raw_laplacian=True, graph_activation=True, debug=False)
+    torch.manual_seed(0)
+    ref = RefModel(**cfg).eval()
+    sd = ref.state_dict()
+
+    ours = SimpleTransformer.from_config(cfg)
+    n, b = 32, 2
+    rng = np.random.default_rng(0)
+    node = rng.standard_normal((b, n, 1)).astype(np.float32)
+    edge = rng.standard_normal((b, n, n, 6)).astype(np.float32)
+    pos = np.linspace(0, 1, n).astype(np.float32)[None, :, None].repeat(b, 0)
+    template = ours.init(jax.random.key(0), jnp.asarray(node),
+                         jnp.asarray(edge), jnp.asarray(pos),
+                         jnp.asarray(pos))["params"]
+    params = load_reference_checkpoint(template, sd)
+
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(node), torch.tensor(edge),
+                      torch.tensor(pos), torch.tensor(pos))["preds"].numpy()
+    out = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(node), jnp.asarray(edge),
+        jnp.asarray(pos), jnp.asarray(pos))["preds"])
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_load_reference_gat_featured_checkpoint():
+    """GAT feature extractor weights (model.py:430-469) round-trip."""
+    import torch
+    from model import SimpleTransformer as RefModel
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.utils import load_config
+    from galerkin_transformer_tpu.utils.torch_compat import \
+        load_reference_checkpoint
+
+    cfg = dict(load_config("ex1_burgers"))
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin",
+               feat_extract_type="gat", num_feat_layers=2,
+               graph_activation=False, debug=False)
+    torch.manual_seed(0)
+    ref = RefModel(**cfg).eval()
+    sd = ref.state_dict()
+
+    ours = SimpleTransformer.from_config(cfg)
+    n, b = 32, 2
+    rng = np.random.default_rng(0)
+    node = rng.standard_normal((b, n, 1)).astype(np.float32)
+    # GAT masks by |adj| of the first edge channel — use a banded laplacian
+    adj = np.zeros((n, n), np.float32)
+    for i in range(n):
+        adj[i, max(0, i - 2): i + 3] = 1.0
+    edge = np.broadcast_to(adj[None, :, :, None], (b, n, n, 1)).copy()
+    pos = np.linspace(0, 1, n).astype(np.float32)[None, :, None].repeat(b, 0)
+    template = ours.init(jax.random.key(0), jnp.asarray(node),
+                         jnp.asarray(edge), jnp.asarray(pos),
+                         jnp.asarray(pos))["params"]
+    params = load_reference_checkpoint(template, sd)
+
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(node), torch.tensor(edge),
+                      torch.tensor(pos), torch.tensor(pos))["preds"].numpy()
+    out = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(node), jnp.asarray(edge),
+        jnp.asarray(pos), jnp.asarray(pos))["preds"])
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-4)
