@@ -1,0 +1,128 @@
+"""Controlled accuracy calibration: train the TORCH REFERENCE on this
+repo's synthetic Burgers data (VERDICT round-1 item 5).
+
+Round 1 attributed the ex1 accuracy gap vs the reference's published
+numbers (BASELINE.md) to the synthetic data being harder than the R10
+dataset — this script turns that claim into a measurement: the reference
+implementation (running on CPU, its only backend here) trains on the
+EXACT arrays produced by this repo's BurgersDataset, with the reference's
+own loss, optimizer recipe, and train/validate loops
+(/root/reference/libs/utils_ft.py:593-653).  Compare against
+`python examples/ex1_burgers.py --epochs <E> --attention-type galerkin`
+which consumes the same cached samples.
+
+Usage:  python eval/calibrate_reference_burgers.py --epochs 20 [--subsample 4]
+Writes eval/calibration_burgers.json.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/libs"
+sys.path.insert(0, REPO)
+if "torchinfo" not in sys.modules:
+    stub = types.ModuleType("torchinfo")
+    stub.summary = lambda *a, **k: None
+    sys.modules["torchinfo"] = stub
+sys.path.insert(0, REF)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--subsample", type=int, default=4)
+    ap.add_argument("--n-samples", type=int, default=2148)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--gamma", type=float, default=0.1)
+    args = ap.parse_args()
+
+    import numpy as np
+    import torch
+    import yaml
+    from model import SimpleTransformer as RefModel
+    from ft import WeightedL2Loss as RefLoss
+    from utils_ft import train_batch_burgers, validate_epoch_burgers
+    from torch.optim.lr_scheduler import OneCycleLR
+
+    from galerkin_transformer_tpu.data import BurgersDataset, DataLoader
+
+    torch.manual_seed(1127802)
+    np.random.seed(1127802)
+
+    train_ds = BurgersDataset(subsample=args.subsample, train_data=True,
+                              train_portion=0.5,
+                              n_samples_synthetic=args.n_samples)
+    valid_ds = BurgersDataset(subsample=args.subsample, train_data=False,
+                              valid_portion=100,
+                              n_samples_synthetic=args.n_samples)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                              drop_last=True, seed=1127802)
+    valid_loader = DataLoader(valid_ds, 16)
+
+    class TorchBatches:
+        """Wrap the numpy DataLoader as torch-tensor dict batches."""
+
+        def __init__(self, loader):
+            self.loader = loader
+
+        def __iter__(self):
+            for b in self.loader:
+                yield {k: torch.from_numpy(np.ascontiguousarray(v))
+                       for k, v in b.items()}
+
+        def __len__(self):
+            return len(self.loader)
+
+    with open(os.path.join(REPO, "config.yml")) as f:
+        cfg = yaml.safe_load(f)["ex1_burgers"]
+    cfg["attention_type"] = "galerkin"
+    cfg["debug"] = False
+    model = RefModel(**cfg)
+    device = torch.device("cpu")
+
+    n = train_ds.n_grid
+    h = 1.0 / n
+    steps_per_epoch = len(train_loader)
+    optimizer = torch.optim.Adam(model.parameters(), lr=args.lr)
+    scheduler = OneCycleLR(optimizer, max_lr=args.lr, div_factor=1e4,
+                           final_div_factor=1e4, pct_start=0.2,
+                           steps_per_epoch=steps_per_epoch,
+                           epochs=args.epochs)
+    loss_fn = RefLoss(regularizer=True, h=h, gamma=args.gamma)
+    metric_fn = RefLoss(regularizer=False, h=h)
+
+    best = float("inf")
+    history = []
+    t0 = time.time()
+    for ep in range(args.epochs):
+        model.train()
+        for data in TorchBatches(train_loader):
+            train_batch_burgers(model, loss_fn, data, optimizer, scheduler,
+                                device)
+        val = validate_epoch_burgers(model, metric_fn,
+                                     TorchBatches(valid_loader), device)
+        metric = float(val["metric"])
+        best = min(best, metric)
+        history.append(metric)
+        print(f"[torch-ref] epoch {ep + 1}/{args.epochs} "
+              f"val {metric:.4e} best {best:.4e} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    out = dict(framework="torch-reference", data="repo-synthetic-burgers",
+               subsample=args.subsample, n_grid=n, epochs=args.epochs,
+               n_train=len(train_ds), n_valid=len(valid_ds),
+               best_val_metric=best, history=history,
+               wall_s=round(time.time() - t0, 1))
+    path = os.path.join(REPO, "eval", "calibration_burgers.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,12 +43,21 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     per-dataset constants like pos/grid broadcast along batch) are
     replicated.
     """
+    import warnings
+
     n_data = mesh.shape["data"]
     out = {}
     for k, v in batch.items():
         if v.ndim >= 1 and v.shape[0] % n_data == 0 and v.shape[0] > 1:
             out[k] = jax.device_put(v, batch_sharding(mesh))
         else:
+            if v.ndim >= 1 and v.shape[0] > 1:
+                # a real batch that just doesn't divide the data axis is a
+                # silent perf foot-gun: every device holds the full array
+                warnings.warn(
+                    f"shard_batch: '{k}' with leading dim {v.shape[0]} is "
+                    f"not divisible by data axis size {n_data}; replicating "
+                    f"instead of sharding", stacklevel=2)
             out[k] = jax.device_put(v, replicate(mesh))
     return out
 

@@ -37,6 +37,64 @@ def load_checkpoint(path: str, params_template: Any,
     return params
 
 
+class AsyncCheckpointer:
+    """Orbax-backed asynchronous checkpointing (production path).
+
+    `save()` snapshots device arrays to host synchronously, then
+    serialization and file IO proceed on a background thread — the train
+    loop never stalls on checkpoint writes.  Orbax coordinates commits
+    across `jax.process_count()` hosts, so the same call is multi-host
+    safe on a TPU pod.  The msgpack helpers above remain the
+    dependency-light single-file format; this class is the scalable one.
+
+    Usage:
+        ckpt = AsyncCheckpointer(dir, max_to_keep=3)
+        ckpt.save(step, params, opt_state)      # returns immediately
+        params, opt_state = ckpt.restore(params, opt_state)  # latest step
+        ckpt.wait(); ckpt.close()
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True))
+
+    def save(self, step: int, params: Any, opt_state: Optional[Any] = None):
+        tree = {"params": params}
+        if opt_state is not None:
+            tree["opt_state"] = opt_state
+        self._mngr.save(step, args=self._ocp.args.StandardSave(tree))
+
+    def restore(self, params_template: Any,
+                opt_state_template: Optional[Any] = None,
+                step: Optional[int] = None):
+        step = self.latest_step() if step is None else step
+        tree = {"params": params_template}
+        if opt_state_template is not None:
+            tree["opt_state"] = opt_state_template
+        out = self._mngr.restore(
+            step, args=self._ocp.args.StandardRestore(tree))
+        if opt_state_template is not None:
+            return out["params"], out["opt_state"]
+        return out["params"]
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def close(self):
+        self._mngr.wait_until_finished()
+        self._mngr.close()
+
+
 def save_pickle(obj: Any, path: str):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:

@@ -57,6 +57,7 @@ def run_train(train_step: Callable,
               model_name: str = "model.ckpt",
               result_name: str = "result.pkl",
               save_best: bool = True,
+              async_checkpoint: bool = False,
               verbose: bool = True) -> tuple:
     """Returns (best_params, final_params, opt_state, TrainResult).
 
@@ -64,6 +65,10 @@ def run_train(train_step: Callable,
     the checkpoint before training continues at `start_epoch` — unlike the
     reference, which saved optimizer state but never reloaded it
     (utils_ft.py:858).
+
+    With ``async_checkpoint=True`` best-val checkpoints go through the
+    orbax AsyncCheckpointer (background IO, multi-host safe) instead of
+    the synchronous msgpack file.
     """
     if patience is None or patience == 0:
         patience = epochs
@@ -84,7 +89,18 @@ def run_train(train_step: Callable,
                          loss_train=np.zeros((0,)), loss_val=np.zeros((0,)),
                          lr_history=np.zeros((0,)))
 
-    if resume and os.path.exists(ckpt_path):
+    async_ckpt = None
+    if async_checkpoint:
+        from .checkpoint import AsyncCheckpointer
+        async_ckpt = AsyncCheckpointer(ckpt_path + ".orbax")
+
+    if resume and async_ckpt is not None and \
+            async_ckpt.latest_step() is not None:
+        params, opt_state = async_ckpt.restore(params, opt_state)
+        if verbose:
+            print(f"resumed params + optimizer state from "
+                  f"{ckpt_path}.orbax @ step {async_ckpt.latest_step()}")
+    elif resume and os.path.exists(ckpt_path):
         from .checkpoint import load_checkpoint
         params, opt_state = load_checkpoint(ckpt_path, params, opt_state)
         if verbose:
@@ -119,7 +135,9 @@ def run_train(train_step: Callable,
         if improved:
             best_val, best_epoch, stop_counter = val_metric, epoch, 0
             best_params = _host_copy(params)
-            if save_best:
+            if save_best and async_ckpt is not None:
+                async_ckpt.save(epoch, params, opt_state)
+            elif save_best:
                 save_checkpoint(ckpt_path, params, opt_state)
         else:
             stop_counter += 1
@@ -156,6 +174,9 @@ def run_train(train_step: Callable,
             if verbose:
                 print(f"Early stop at epoch {epoch + 1}")
             break
+
+    if async_ckpt is not None:
+        async_ckpt.wait()
 
     result.best_params = best_params
     return best_params, params, opt_state, result

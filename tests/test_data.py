@@ -209,3 +209,31 @@ def test_darcy_online_features_match_precomputed():
                                    atol=1e-6)
         np.testing.assert_allclose(online[i]["mass"], pre[i]["mass"],
                                    atol=1e-6)
+
+
+def test_dataloader_multihost_sharding_disjoint_exhaustive():
+    """num_shards loaders with the same seed cover the sample space
+    disjointly, per epoch, with identical cross-host shuffles."""
+
+    class Ix:
+        def __len__(self):
+            return 103
+
+        def __getitem__(self, i):
+            return dict(x=np.array([i]))
+
+    loaders = [DataLoader(Ix(), batch_size=4, shuffle=True, drop_last=True,
+                          seed=9, num_shards=4, shard_index=s)
+               for s in range(4)]
+    seen = []
+    for dl in loaders:
+        for b in dl:
+            seen.extend(b["x"].ravel().tolist())
+    assert len(seen) == len(set(seen))       # disjoint
+    assert len(seen) == 4 * (26 // 4) * 4    # ceil/floor per shard, dropped
+    # second epoch reshuffles but stays disjoint
+    seen2 = set()
+    for dl in loaders:
+        for b in dl:
+            seen2.update(b["x"].ravel().tolist())
+    assert len(seen2) == len(seen)

@@ -175,3 +175,29 @@ def test_plateau_scheduler_reduces_lr():
         params = optax.apply_updates(params, updates)
         scales.append(float(jnp.abs(updates["w"]).max()))
     assert scales[-1] < scales[0] * 0.5
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """Orbax async checkpointing: save returns immediately, restore after
+    wait() reproduces params and optimizer state."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from galerkin_transformer_tpu.train.checkpoint import AsyncCheckpointer
+
+    params = {"dense": {"kernel": jnp.arange(12.0).reshape(3, 4),
+                        "bias": jnp.ones((4,))}}
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    ckpt = AsyncCheckpointer(str(tmp_path / "ckpt"), max_to_keep=2)
+    ckpt.save(0, params, opt_state)
+    params2 = jax.tree.map(lambda x: x * 2, params)
+    ckpt.save(1, params2, opt_state)
+    ckpt.wait()
+    assert ckpt.latest_step() == 1
+    template = jax.tree.map(jnp.zeros_like, params)
+    got, got_opt = ckpt.restore(template, tx.init(template))
+    np.testing.assert_allclose(np.asarray(got["dense"]["kernel"]),
+                               np.asarray(params2["dense"]["kernel"]))
+    assert jax.tree.structure(got_opt) == jax.tree.structure(opt_state)
+    ckpt.close()
