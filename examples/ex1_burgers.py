@@ -49,6 +49,8 @@ def main(argv=None):
     config = load_config("ex1_burgers")
     config["attn_norm"] = not args.layer_norm
     config = merge_config(config, args)
+    if args.bf16:
+        config["dtype"] = jnp.bfloat16
     model = SimpleTransformer.from_config(config)
 
     sample = next(iter(train_loader))
@@ -83,7 +85,7 @@ def main(argv=None):
         train_loader, valid_loader, jax.random.key(args.seed),
         epochs=args.epochs, lr_schedule=sched, patience=None,
         model_save_path=MODEL_PATH, model_name=model_name,
-        result_name=result_name)
+        result_name=result_name, ema_decay=args.ema_decay)
 
     from galerkin_transformer_tpu.train.trainer import validate_epoch
     val = validate_epoch(eval_step, best_params, valid_loader)

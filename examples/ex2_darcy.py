@@ -64,6 +64,8 @@ def main(argv=None):
     elif config["attention_type"] == "galerkin" and n_grid >= 211:
         config["norm_eps"] = 1e-5
     config = merge_config(config, args)
+    if args.bf16:
+        config["dtype"] = jnp.bfloat16
     model = FourierTransformer2D.from_config(config)
     normalizer = train_dataset.normalizer_y.as_tuple()
 

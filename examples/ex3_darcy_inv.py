@@ -60,6 +60,8 @@ def main(argv=None):
     config["upscaler_size"] = ((n_grid_c, n_grid_c), (n_grid_c, n_grid_c))
     config["attn_norm"] = not args.layer_norm
     config = merge_config(config, args)
+    if args.bf16:
+        config["dtype"] = jnp.bfloat16
     model = FourierTransformer2D.from_config(config)
     normalizer = train_dataset.normalizer_y.as_tuple()
 

@@ -58,6 +58,7 @@ def run_train(train_step: Callable,
               result_name: str = "result.pkl",
               save_best: bool = True,
               async_checkpoint: bool = False,
+              ema_decay: Optional[float] = None,
               verbose: bool = True) -> tuple:
     """Returns (best_params, final_params, opt_state, TrainResult).
 
@@ -69,6 +70,10 @@ def run_train(train_step: Callable,
     With ``async_checkpoint=True`` best-val checkpoints go through the
     orbax AsyncCheckpointer (background IO, multi-host safe) instead of
     the synchronous msgpack file.
+
+    With ``ema_decay`` set (e.g. 0.999), an exponential moving average of
+    the parameters is tracked on-device each step and used for validation
+    and best-checkpoint selection (the raw params keep training).
     """
     if patience is None or patience == 0:
         patience = epochs
@@ -106,12 +111,24 @@ def run_train(train_step: Callable,
         if verbose:
             print(f"resumed params + optimizer state from {ckpt_path}")
 
+    ema_params = None
+    ema_step = None
+    if ema_decay is not None and 0.0 < ema_decay < 1.0:
+        # real device copies — train_step donates the param buffers, so the
+        # EMA tree must not alias them
+        ema_params = jax.tree_util.tree_map(
+            lambda x: jax.numpy.array(x, copy=True), params)
+        ema_step = jax.jit(lambda e, p: jax.tree_util.tree_map(
+            lambda ev, pv: ema_decay * ev + (1.0 - ema_decay) * pv, e, p))
+
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         epoch_losses = []
         for batch in train_loader:
             params, opt_state, rng, losses = train_step(
                 params, opt_state, batch, rng)
+            if ema_step is not None:
+                ema_params = ema_step(ema_params, params)
             epoch_losses.append([float(x) for x in losses])
             if lr_schedule is not None:
                 lr_history.append(float(lr_schedule(it)))
@@ -127,18 +144,19 @@ def run_train(train_step: Callable,
                   f"from epoch {best_epoch + 1} is preserved", flush=True)
             break
 
-        val_metric = validate_epoch(eval_step, params, valid_loader)
+        eval_params = ema_params if ema_params is not None else params
+        val_metric = validate_epoch(eval_step, eval_params, valid_loader)
         loss_val.append(val_metric)
 
         improved = np.isfinite(val_metric) and (
             val_metric > best_val if mode == "max" else val_metric < best_val)
         if improved:
             best_val, best_epoch, stop_counter = val_metric, epoch, 0
-            best_params = _host_copy(params)
+            best_params = _host_copy(eval_params)
             if save_best and async_ckpt is not None:
-                async_ckpt.save(epoch, params, opt_state)
+                async_ckpt.save(epoch, eval_params, opt_state)
             elif save_best:
-                save_checkpoint(ckpt_path, params, opt_state)
+                save_checkpoint(ckpt_path, eval_params, opt_state)
         else:
             stop_counter += 1
 

@@ -31,6 +31,10 @@ def get_args_1d(argv=None):
                    help="synthetic sample count when no .mat file is given")
     p.add_argument("--fast-matmul", action="store_true", default=False,
                    help="default TPU matmul precision (bf16 passes) instead of highest")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bfloat16 encoder activations (params/decoder stay f32)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="parameter EMA decay for eval/checkpoints, e.g. 0.999")
     return p.parse_args(argv)
 
 
@@ -65,4 +69,6 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
     p.add_argument("--n-samples", type=int, default=128,
                    help="synthetic sample count when no .mat file is given")
     p.add_argument("--fast-matmul", action="store_true", default=False)
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bfloat16 encoder activations (params/decoder stay f32)")
     return p.parse_args(argv)

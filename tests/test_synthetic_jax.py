@@ -34,6 +34,51 @@ def test_jax_ns_solver_matches_numpy_dynamics():
     np.testing.assert_allclose(out_jx, out_np, rtol=1e-3, atol=1e-5)
 
 
+def test_jax_darcy_mg_matches_direct_solve():
+    """Multigrid-FCG solution matches the f64 sparse-direct solver."""
+    import jax.numpy as jnp
+    from scipy import sparse
+    from scipy.sparse.linalg import spsolve
+    from galerkin_transformer_tpu.data.synthetic_jax import _darcy_mg
+
+    rng = np.random.default_rng(0)
+    n = 41  # odd -> 41 -> 21 -> 11 vertex-aligned hierarchy
+    from galerkin_transformer_tpu.data.synthetic import grf_2d
+    g = grf_2d(2, n, rng, tau=9.0, alpha=2.0)
+    coeff = np.where(g >= 0, 12.0, 3.0)
+    sol = np.asarray(_darcy_mg(jnp.asarray(coeff), n, max_cycles=12))
+
+    h = 1.0 / (n - 1)
+    a, u = coeff[0], sol[0]
+
+    def face(a1, a2):
+        return 2 * a1 * a2 / (a1 + a2)
+    aw = face(a[1:-1, 1:-1], a[1:-1, :-2])
+    ae = face(a[1:-1, 1:-1], a[1:-1, 2:])
+    an = face(a[1:-1, 1:-1], a[:-2, 1:-1])
+    as_ = face(a[1:-1, 1:-1], a[2:, 1:-1])
+    diag = (aw + ae + an + as_) / h ** 2
+    n_in = n - 2
+    idx = np.arange(n_in * n_in).reshape(n_in, n_in)
+    rows, cols, vals = [idx.ravel()], [idx.ravel()], [diag.ravel()]
+
+    def link(coef, r, c):
+        rows.append(r.ravel())
+        cols.append(c.ravel())
+        vals.append((-coef / h ** 2).ravel())
+    link(ae[:, :-1], idx[:, :-1], idx[:, 1:])
+    link(aw[:, 1:], idx[:, 1:], idx[:, :-1])
+    link(as_[:-1, :], idx[:-1, :], idx[1:, :])
+    link(an[1:, :], idx[1:, :], idx[:-1, :])
+    A = sparse.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n_in * n_in, n_in * n_in))
+    u_direct = spsolve(A, np.ones(n_in * n_in)).reshape(n_in, n_in)
+    rel = (np.linalg.norm(u[1:-1, 1:-1] - u_direct)
+           / np.linalg.norm(u_direct))
+    assert rel < 1e-4, rel
+
+
 def test_jax_darcy_cg_solves():
     """CG solution satisfies the FD equations (residual check)."""
     from galerkin_transformer_tpu.data.synthetic_jax import darcy_cg_jax

@@ -95,6 +95,22 @@ def test_burgers_training_learns(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "model.ckpt"))
     assert result.best_val_metric == min(result.loss_val)
 
+    # EMA path: trains, validates on the averaged params, still learns
+    params2 = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
+                         jnp.asarray(b["pos"]),
+                         jnp.asarray(b["grid"]))["params"]
+    best2, final2, _, result2 = run_train(
+        train_step, eval_step, params2, tx.init(params2), tl, vl,
+        jax.random.key(0), epochs=epochs, lr_schedule=sched,
+        model_save_path=str(tmp_path), verbose=False, ema_decay=0.9)
+    assert result2.loss_val[-1] < result2.loss_val[0]
+    # EMA (best) params differ from the raw final params
+    diff = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(lambda a, b_: jnp.asarray(a) - jnp.asarray(b_),
+                               best2, final2), 0.0)
+    assert diff > 0.0
+
 
 def test_ns_rollout_step_runs():
     from galerkin_transformer_tpu.data import (DataLoader,
