@@ -72,13 +72,19 @@ def main(argv=None):
 
     h = (1 / 2 ** 13) * args.subsample
     total_steps = len(train_loader) * args.epochs
-    tx, sched = adam_onecycle(args.lr, total_steps, pct_start=0.2,
-                              grad_clip=0.999)
+    if args.scheduler == "plateau":
+        from galerkin_transformer_tpu.train.schedule import adam_plateau
+        tx, sched = adam_plateau(args.lr, grad_clip=0.999)
+    else:
+        tx, sched = adam_onecycle(args.lr, total_steps, pct_start=0.2,
+                                  grad_clip=0.999)
     opt_state = tx.init(params)
 
     loss_fn = WeightedL2Loss(regularizer=True, h=h, gamma=args.gamma)
     metric_fn = WeightedL2Loss(regularizer=False, h=h)
-    train_step, eval_step = make_burgers_steps(model, loss_fn, metric_fn, tx)
+    train_step, eval_step = make_burgers_steps(
+        model, loss_fn, metric_fn, tx,
+        needs_value=(args.scheduler == "plateau"))
 
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,

@@ -35,6 +35,10 @@ def get_args_1d(argv=None):
                    help="bfloat16 encoder activations (params/decoder stay f32)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="parameter EMA decay for eval/checkpoints, e.g. 0.999")
+    p.add_argument("--scheduler", type=str, default="onecycle",
+                   choices=("onecycle", "plateau"),
+                   help="per-batch 1cycle (reference default) or per-value "
+                        "ReduceLROnPlateau (reference EPOCH_SCHEDULERS family)")
     return p.parse_args(argv)
 
 
