@@ -82,6 +82,54 @@ def navier_stokes_spectral_jax(n_samples: int = 64, n_grid: int = 64,
     return np.asarray(out, dtype=np.float64)
 
 
+# ----------------------------------------------------------------- Burgers
+
+def grf_1d_jax(key, n_samples: int, n_grid: int, tau: float = 5.0,
+               alpha: float = 2.0, sigma=None):
+    """Periodic GRF a ~ N(0, σ²(-Δ + τ²)^{-α}) — jax port of
+    synthetic.grf_1d (same spectrum, jax PRNG)."""
+    if sigma is None:
+        sigma = tau ** 2
+    k = jnp.fft.rfftfreq(n_grid, d=1.0 / n_grid)
+    sqrt_eig = sigma * ((4 * jnp.pi ** 2) * k ** 2 + tau ** 2) ** (-alpha / 2.0)
+    sqrt_eig = sqrt_eig.at[0].set(0.0)
+    k1, k2 = jax.random.split(key)
+    re = jax.random.normal(k1, (n_samples, len(k)))
+    im = jax.random.normal(k2, (n_samples, len(k)))
+    coeffs = jax.lax.complex(re, im) * sqrt_eig * n_grid
+    return jnp.fft.irfft(coeffs, n=n_grid, axis=-1) / jnp.sqrt(2.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid",))
+def _cole_hopf(a, n_grid: int, viscosity: float, t_final: float):
+    """Exact Burgers solve via Cole–Hopf — same scheme as
+    synthetic.burgers_cole_hopf (spectral antiderivative, heat-evolved
+    φ = exp(-U/2ν), u = -2ν φ_x/φ)."""
+    k = jnp.fft.rfftfreq(n_grid, d=1.0 / n_grid) * 2 * jnp.pi
+    a_hat = jnp.fft.rfft(a, axis=-1)
+    U_hat = jnp.where(k[None, :] > 0, a_hat / (1j * k[None, :]), 0.0)
+    U = jnp.fft.irfft(U_hat, n=n_grid, axis=-1)
+    x = jnp.linspace(0, 1, n_grid, endpoint=False)[None, :]
+    U = U + a.mean(axis=-1, keepdims=True) * x
+    phi0 = jnp.exp(-(U - U.mean(axis=-1, keepdims=True)) / (2 * viscosity))
+    phi_hat = jnp.fft.rfft(phi0, axis=-1) * jnp.exp(
+        -viscosity * k ** 2 * t_final)[None, :]
+    phi = jnp.fft.irfft(phi_hat, n=n_grid, axis=-1)
+    phix = jnp.fft.irfft(phi_hat * (1j * k[None, :]), n=n_grid, axis=-1)
+    return -2 * viscosity * phix / phi
+
+
+def burgers_cole_hopf_jax(n_samples: int = 256, n_grid: int = 8192,
+                          viscosity: float = 0.01, t_final: float = 1.0,
+                          seed: int = 1127802):
+    """Device-side exact Burgers pairs — same contract as
+    synthetic.burgers_cole_hopf (jax PRNG, so not bit-identical data)."""
+    a = grf_1d_jax(jax.random.key(seed), n_samples, n_grid)
+    u = _cole_hopf(a, n_grid, viscosity, t_final)
+    return (np.asarray(a, dtype=np.float64),
+            np.asarray(u, dtype=np.float64))
+
+
 # ------------------------------------------------------------------ Darcy
 
 def _darcy_faces(a):

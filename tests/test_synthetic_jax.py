@@ -34,6 +34,28 @@ def test_jax_ns_solver_matches_numpy_dynamics():
     np.testing.assert_allclose(out_jx, out_np, rtol=1e-3, atol=1e-5)
 
 
+def test_jax_cole_hopf_matches_numpy_scheme():
+    """Same initial field through both Cole–Hopf implementations."""
+    import jax.numpy as jnp
+    from galerkin_transformer_tpu.data.synthetic import (burgers_cole_hopf,
+                                                         grf_1d)
+    from galerkin_transformer_tpu.data.synthetic_jax import _cole_hopf
+
+    rng = np.random.default_rng(0)
+    n = 512
+    a = grf_1d(2, n, rng)
+    # numpy path with injected field
+    import galerkin_transformer_tpu.data.synthetic as syn
+    orig = syn.grf_1d
+    try:
+        syn.grf_1d = lambda *args, **kw: a
+        a_np, u_np = burgers_cole_hopf(2, n, viscosity=0.01, seed=0)
+    finally:
+        syn.grf_1d = orig
+    u_jx = np.asarray(_cole_hopf(jnp.asarray(a), n, 0.01, 1.0))
+    np.testing.assert_allclose(u_jx, u_np, rtol=1e-4, atol=1e-5)
+
+
 def test_jax_darcy_mg_matches_direct_solve():
     """Multigrid-FCG solution matches the f64 sparse-direct solver."""
     import jax.numpy as jnp
