@@ -75,4 +75,6 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
     p.add_argument("--fast-matmul", action="store_true", default=False)
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 encoder activations (params/decoder stay f32)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="parameter EMA decay for eval/checkpoints, e.g. 0.999")
     return p.parse_args(argv)
