@@ -36,8 +36,11 @@ class TrainResult:
 
 
 def validate_epoch(eval_step: Callable, params, valid_loader) -> float:
-    metrics = [float(eval_step(params, batch)) for batch in valid_loader]
-    return float(np.mean(metrics))
+    # dispatch all batches asynchronously, fetch once: on a remote-execution
+    # backend every float() is a full round-trip (~10-100 ms), which would
+    # dominate the actual compute
+    metrics = [eval_step(params, batch) for batch in valid_loader]
+    return float(np.mean(jax.device_get(metrics)))
 
 
 def run_train(train_step: Callable,
@@ -121,18 +124,30 @@ def run_train(train_step: Callable,
         ema_step = jax.jit(lambda e, p: jax.tree_util.tree_map(
             lambda ev, pv: ema_decay * ev + (1.0 - ema_decay) * pv, e, p))
 
+    # keep device arrays and fetch in chunks — fetching per step serializes
+    # the epoch on host round-trips (10-100 ms each on a remote-execution
+    # backend, >100x the 1 ms step); the chunk bound keeps the dispatch
+    # queue (and the input buffers it pins) finite
+    flush_every = 64
+
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
-        epoch_losses = []
+        epoch_losses, pending, n_steps = [], [], 0
         for batch in train_loader:
             params, opt_state, rng, losses = train_step(
                 params, opt_state, batch, rng)
             if ema_step is not None:
                 ema_params = ema_step(ema_params, params)
-            epoch_losses.append([float(x) for x in losses])
-            if lr_schedule is not None:
-                lr_history.append(float(lr_schedule(it)))
+            pending.append(losses)
+            if len(pending) >= flush_every:
+                epoch_losses.extend(jax.device_get(pending))
+                pending = []
             it += 1
+            n_steps += 1
+        epoch_losses.extend(jax.device_get(pending))
+        if lr_schedule is not None:
+            lr_history.extend(np.asarray(
+                jax.vmap(lr_schedule)(np.arange(it - n_steps, it))).tolist())
         loss_mean = np.mean(np.asarray(epoch_losses), axis=0)
         loss_train.append(loss_mean)
 
