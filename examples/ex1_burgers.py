@@ -91,7 +91,8 @@ def main(argv=None):
         train_loader, valid_loader, jax.random.key(args.seed),
         epochs=args.epochs, lr_schedule=sched, patience=None,
         model_save_path=MODEL_PATH, model_name=model_name,
-        result_name=result_name, ema_decay=args.ema_decay)
+        result_name=result_name, ema_decay=args.ema_decay,
+        device_loop=args.device_data)
 
     from galerkin_transformer_tpu.train.trainer import validate_epoch
     val = validate_epoch(eval_step, best_params, valid_loader)

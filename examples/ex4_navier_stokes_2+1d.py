@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--n-samples", type=int, default=64)
     p.add_argument("--fast-matmul", action="store_true", default=False)
     p.add_argument("--ema-decay", type=float, default=None)
+    p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
+                   default=True)
     args = p.parse_args(argv)
     from galerkin_transformer_tpu.utils.jax_setup import setup
     setup(precision=None if args.fast_matmul else "highest")
@@ -82,7 +84,8 @@ def main(argv=None):
         train_loader, valid_loader, jax.random.key(args.seed),
         epochs=args.epochs, lr_schedule=sched, patience=None,
         model_save_path=MODEL_PATH, model_name="ns_lite.ckpt",
-        result_name="ns_lite_result.pkl", ema_decay=args.ema_decay)
+        result_name="ns_lite_result.pkl", ema_decay=args.ema_decay,
+        device_loop=args.device_data)
 
     val = validate_epoch(eval_step, best_params, valid_loader)
     print(f"\nBest model's validation metric: {val:.4e}")

@@ -62,6 +62,7 @@ def run_train(train_step: Callable,
               save_best: bool = True,
               async_checkpoint: bool = False,
               ema_decay: Optional[float] = None,
+              device_loop: bool = False,
               verbose: bool = True) -> tuple:
     """Returns (best_params, final_params, opt_state, TrainResult).
 
@@ -77,6 +78,12 @@ def run_train(train_step: Callable,
     With ``ema_decay`` set (e.g. 0.999), an exponential moving average of
     the parameters is tracked on-device each step and used for validation
     and best-checkpoint selection (the raw params keep training).
+
+    With ``device_loop=True`` the datasets are uploaded to HBM once and
+    each epoch (shuffle + every train step + validation) runs as ONE
+    jitted program (`train.device_loop.DeviceEpochRunner`) — on a
+    remote-execution backend this removes ~n_batches×(10-100 ms) of
+    per-batch upload latency per epoch.  Single-process only.
     """
     if patience is None or patience == 0:
         patience = epochs
@@ -124,31 +131,47 @@ def run_train(train_step: Callable,
         ema_step = jax.jit(lambda e, p: jax.tree_util.tree_map(
             lambda ev, pv: ema_decay * ev + (1.0 - ema_decay) * pv, e, p))
 
-    # keep device arrays and fetch in chunks — fetching per step serializes
-    # the epoch on host round-trips (10-100 ms each on a remote-execution
-    # backend, >100x the 1 ms step); the chunk bound keeps the dispatch
-    # queue (and the input buffers it pins) finite
+    runner = None
+    if device_loop:
+        from .device_loop import DeviceEpochRunner
+        runner = DeviceEpochRunner(
+            train_step, eval_step, train_loader, valid_loader,
+            ema_decay=ema_decay if ema_step is not None else None,
+            verbose=verbose)
+
+    # host-loop path: keep device arrays and fetch in chunks — fetching per
+    # step serializes the epoch on host round-trips (10-100 ms each on a
+    # remote-execution backend, >100x the 1 ms step); the chunk bound keeps
+    # the dispatch queue (and the input buffers it pins) finite
     flush_every = 64
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
-        epoch_losses, pending, n_steps = [], [], 0
-        for batch in train_loader:
-            params, opt_state, rng, losses = train_step(
-                params, opt_state, batch, rng)
-            if ema_step is not None:
-                ema_params = ema_step(ema_params, params)
-            pending.append(losses)
-            if len(pending) >= flush_every:
-                epoch_losses.extend(jax.device_get(pending))
-                pending = []
-            it += 1
-            n_steps += 1
-        epoch_losses.extend(jax.device_get(pending))
+        val_metric = None
+        if runner is not None:
+            params, opt_state, rng, ema_params, losses_np, val_metric = \
+                runner.epoch(params, opt_state, rng, ema_params, epoch)
+            n_steps = runner.n_batches
+            it += n_steps
+            loss_mean = losses_np.mean(axis=0)
+        else:
+            epoch_losses, pending, n_steps = [], [], 0
+            for batch in train_loader:
+                params, opt_state, rng, losses = train_step(
+                    params, opt_state, batch, rng)
+                if ema_step is not None:
+                    ema_params = ema_step(ema_params, params)
+                pending.append(losses)
+                if len(pending) >= flush_every:
+                    epoch_losses.extend(jax.device_get(pending))
+                    pending = []
+                it += 1
+                n_steps += 1
+            epoch_losses.extend(jax.device_get(pending))
+            loss_mean = np.mean(np.asarray(epoch_losses), axis=0)
         if lr_schedule is not None:
             lr_history.extend(np.asarray(
                 jax.vmap(lr_schedule)(np.arange(it - n_steps, it))).tolist())
-        loss_mean = np.mean(np.asarray(epoch_losses), axis=0)
         loss_train.append(loss_mean)
 
         # failure detection: a diverged run never recovers through Adam
@@ -160,7 +183,8 @@ def run_train(train_step: Callable,
             break
 
         eval_params = ema_params if ema_params is not None else params
-        val_metric = validate_epoch(eval_step, eval_params, valid_loader)
+        if val_metric is None:
+            val_metric = validate_epoch(eval_step, eval_params, valid_loader)
         loss_val.append(val_metric)
 
         improved = np.isfinite(val_metric) and (

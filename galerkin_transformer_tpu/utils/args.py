@@ -39,6 +39,11 @@ def get_args_1d(argv=None):
                    choices=("onecycle", "plateau"),
                    help="per-batch 1cycle (reference default) or per-value "
                         "ReduceLROnPlateau (reference EPOCH_SCHEDULERS family)")
+    p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="keep the dataset in HBM and run each epoch as one "
+                        "jitted program (train.device_loop); --no-device-data "
+                        "uses the host DataLoader per batch")
     return p.parse_args(argv)
 
 
@@ -77,4 +82,9 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
                    help="bfloat16 encoder activations (params/decoder stay f32)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="parameter EMA decay for eval/checkpoints, e.g. 0.999")
+    p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="keep the dataset in HBM and run each epoch as one "
+                        "jitted program (train.device_loop); --no-device-data "
+                        "uses the host DataLoader per batch")
     return p.parse_args(argv)

@@ -1,0 +1,103 @@
+"""Device-resident epoch loop: exact parity with the host loop, and the
+run_train(device_loop=True) integration path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from galerkin_transformer_tpu.data import BurgersDataset, DataLoader
+from galerkin_transformer_tpu.models import SimpleTransformer
+from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+from galerkin_transformer_tpu.train.schedule import adam_onecycle
+from galerkin_transformer_tpu.train.steps import make_burgers_steps
+from galerkin_transformer_tpu.utils import load_config
+
+
+def _tiny_setup(dropout=0.0):
+    tr = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
+                        train_portion=0.75, n_samples_synthetic=32)
+    va = BurgersDataset(subsample=8, n_grid_fine=512, train_data=False,
+                        valid_portion=0.25, n_samples_synthetic=32)
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    if dropout is not None:
+        cfg.update(encoder_dropout=dropout, decoder_dropout=dropout,
+                   ffn_dropout=dropout, dropout=dropout)
+    model = SimpleTransformer.from_config(cfg)
+    h = 8 / 512
+    tx, _ = adam_onecycle(1e-3, total_steps=100, grad_clip=0.999)
+    train_step, eval_step = make_burgers_steps(
+        model, WeightedL2Loss(regularizer=True, h=h, gamma=0.1),
+        WeightedL2Loss(regularizer=False, h=h), tx, donate=False)
+    tl = DataLoader(tr, 8, shuffle=False, drop_last=True)
+    vl = DataLoader(va, 4)
+    b = next(iter(tl))
+    params = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
+                        jnp.asarray(b["pos"]), jnp.asarray(b["grid"]))["params"]
+    return model, tx, params, train_step, eval_step, tl, vl
+
+
+def test_device_epoch_matches_host_loop():
+    """shuffle=False, same rng thread => the scanned epoch reproduces the
+    host loop's per-step losses and validation metric exactly."""
+    from galerkin_transformer_tpu.train.device_loop import DeviceEpochRunner
+    from galerkin_transformer_tpu.train.trainer import validate_epoch
+
+    _, tx, params, train_step, eval_step, tl, vl = _tiny_setup()
+    opt_state = tx.init(params)
+    rng = jax.random.key(7)
+
+    # host reference epoch
+    p_host, s_host, r_host = params, opt_state, rng
+    host_losses = []
+    for batch in tl:
+        p_host, s_host, r_host, losses = train_step(
+            p_host, s_host, batch, r_host)
+        host_losses.append([float(v) for v in losses])
+    host_val = validate_epoch(eval_step, p_host, vl)
+
+    runner = DeviceEpochRunner(train_step, eval_step, tl, vl, verbose=False)
+    p_dev, s_dev, r_dev, _, dev_losses, dev_val = runner.epoch(
+        params, opt_state, rng, None, epoch_idx=0)
+
+    np.testing.assert_allclose(dev_losses, np.asarray(host_losses),
+                               rtol=2e-5, atol=1e-7)
+    assert abs(dev_val - host_val) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p_host),
+                    jax.tree_util.tree_leaves(p_dev)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_run_train_device_loop_end_to_end(tmp_path):
+    """run_train(device_loop=True) trains, checkpoints, logs, and the loss
+    goes down; EMA variant runs too."""
+    from galerkin_transformer_tpu.train.trainer import run_train
+
+    _, tx, params, train_step, eval_step, tl, vl = _tiny_setup()
+    tl.shuffle = True
+    opt_state = tx.init(params)
+    best_params, params, opt_state, result = run_train(
+        train_step, eval_step, params, opt_state, tl, vl,
+        jax.random.key(0), epochs=6, patience=None,
+        model_save_path=str(tmp_path), model_name="m.ckpt",
+        result_name="r.pkl", ema_decay=0.9, device_loop=True,
+        verbose=False)
+    assert result.loss_train.shape[0] == 6
+    assert result.loss_val[-1] < result.loss_val[0]
+    assert np.isfinite(result.loss_val).all()
+    assert (tmp_path / "m.ckpt").exists()
+
+
+def test_device_epoch_ragged_validation():
+    """Validation batch remainder is handled (sample-weighted mean)."""
+    from galerkin_transformer_tpu.train.device_loop import DeviceEpochRunner
+
+    _, tx, params, train_step, eval_step, tl, _ = _tiny_setup()
+    va = BurgersDataset(subsample=8, n_grid_fine=512, train_data=False,
+                        valid_portion=0.25, n_samples_synthetic=32)
+    vl = DataLoader(va, 3)  # 8 valid samples -> 2 full batches + tail of 2
+    opt_state = tx.init(params)
+    runner = DeviceEpochRunner(train_step, eval_step, tl, vl, verbose=False)
+    *_, val = runner.epoch(params, opt_state, jax.random.key(0), None, 0)
+    assert np.isfinite(val)
