@@ -88,9 +88,11 @@ class DarcyDataset:
         from ..utils.config import DATA_PATH
         from .synthetic import darcy_fd
         seed = self.random_state + (0 if self.train_data else 7)
+        # _t3: GRF correlation tag (tau=3 reference-covariance fields);
+        # pre-tag caches hold rougher tau=9 fields and must not be reused
         cache = os.path.join(
             DATA_PATH, f"darcy_synth_n{self.n_grid_fine}"
-            f"_s{self.n_samples_synthetic}_seed{seed}.npz")
+            f"_s{self.n_samples_synthetic}_t3_seed{seed}.npz")
         if os.path.exists(cache):
             with np.load(cache) as z:
                 return z["coeff"], z["sol"]

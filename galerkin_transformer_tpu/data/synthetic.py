@@ -83,8 +83,13 @@ def burgers_cole_hopf(n_samples: int = 256, n_grid: int = 8192,
 
 
 def grf_2d(n_samples: int, n_grid: int, rng: np.random.Generator,
-           tau: float = 9.0, alpha: float = 2.0):
-    """GRF on the unit square (periodic spectral synthesis, then sampled)."""
+           tau: float = 3.0, alpha: float = 2.0):
+    """GRF on the unit square (periodic spectral synthesis, then sampled).
+
+    Defaults match the covariance used for the reference's piececonst
+    Darcy fields, (-grad^2 + tau^2 I)^(-alpha) with tau=3, alpha=2 (the
+    Li et al generator the reference's piececonst_r421 files come from;
+    note tau enters squared — 9 is tau^2, not tau)."""
     kx = np.fft.fftfreq(n_grid, d=1.0 / n_grid)
     ky = np.fft.rfftfreq(n_grid, d=1.0 / n_grid)
     k2 = (kx[:, None] ** 2 + ky[None, :] ** 2) * (4 * np.pi ** 2)

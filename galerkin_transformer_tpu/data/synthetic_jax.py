@@ -209,7 +209,9 @@ def darcy_cg_jax(n_samples: int = 64, n_grid: int = 421,
     """Device-side Darcy data generation: thresholded-GRF coefficients and
     FD solutions via batched CG.  Same contract as synthetic.darcy_fd."""
     key = jax.random.key(seed)
-    g = grf_2d_jax(key, n_samples, n_grid, tau=9.0, alpha=2.0)
+    # tau=3, alpha=2: the reference piececonst covariance
+    # (-grad^2 + 9I)^(-2) — tau enters squared
+    g = grf_2d_jax(key, n_samples, n_grid, tau=3.0, alpha=2.0)
     coeff = jnp.where(g >= 0, hi, lo)
     sols = []
     for i in range(0, n_samples, batch):
@@ -377,7 +379,9 @@ def darcy_mg_jax(n_samples: int = 64, n_grid: int = 421,
     """Multigrid Darcy data generation — same contract as synthetic.darcy_fd
     / darcy_cg_jax, ~100× less device work than the single-level CG."""
     key = jax.random.key(seed)
-    g = grf_2d_jax(key, n_samples, n_grid, tau=9.0, alpha=2.0)
+    # tau=3, alpha=2: the reference piececonst covariance
+    # (-grad^2 + 9I)^(-2) — tau enters squared
+    g = grf_2d_jax(key, n_samples, n_grid, tau=3.0, alpha=2.0)
     coeff = jnp.where(g >= 0, hi, lo)
     sols = []
     for i in range(0, n_samples, batch):
