@@ -104,7 +104,9 @@ def main(argv=None):
         epochs=args.epochs, lr_schedule=sched, patience=None,
         model_save_path=MODEL_PATH, model_name=model_name,
         result_name=result_name, ema_decay=args.ema_decay,
-        device_loop=args.device_data)
+        device_loop=args.device_data,
+        resume=args.resume_epoch is not None,
+        start_epoch=args.resume_epoch or 0)
 
     val = validate_epoch(eval_step, best_params, valid_loader)
     print(f"\nBest model's validation metric: {val:.4e}")

@@ -38,6 +38,7 @@ def main(argv=None):
     p.add_argument("--ema-decay", type=float, default=None)
     p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--resume-epoch", type=int, default=None)
     args = p.parse_args(argv)
     from galerkin_transformer_tpu.utils.jax_setup import setup
     setup(precision=None if args.fast_matmul else "highest")
@@ -85,7 +86,9 @@ def main(argv=None):
         epochs=args.epochs, lr_schedule=sched, patience=None,
         model_save_path=MODEL_PATH, model_name="ns_lite.ckpt",
         result_name="ns_lite_result.pkl", ema_decay=args.ema_decay,
-        device_loop=args.device_data)
+        device_loop=args.device_data,
+        resume=args.resume_epoch is not None,
+        start_epoch=args.resume_epoch or 0)
 
     val = validate_epoch(eval_step, best_params, valid_loader)
     print(f"\nBest model's validation metric: {val:.4e}")

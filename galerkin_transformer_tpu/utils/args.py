@@ -44,6 +44,9 @@ def get_args_1d(argv=None):
                    help="keep the dataset in HBM and run each epoch as one "
                         "jitted program (train.device_loop); --no-device-data "
                         "uses the host DataLoader per batch")
+    p.add_argument("--resume-epoch", type=int, default=None,
+                   help="resume from the saved checkpoint (params + optimizer "
+                        "state) and continue training at this epoch index")
     return p.parse_args(argv)
 
 
@@ -87,4 +90,7 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
                    help="keep the dataset in HBM and run each epoch as one "
                         "jitted program (train.device_loop); --no-device-data "
                         "uses the host DataLoader per batch")
+    p.add_argument("--resume-epoch", type=int, default=None,
+                   help="resume from the saved checkpoint (params + optimizer "
+                        "state) and continue training at this epoch index")
     return p.parse_args(argv)
