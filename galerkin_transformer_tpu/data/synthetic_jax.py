@@ -289,18 +289,28 @@ def _rbgs(u, b, apply_A, diag, red_int, sweeps: int = 1):
 
 @functools.partial(jax.jit, static_argnames=("n_grid", "max_cycles",
                                              "coarse_iters"))
-def _darcy_mg(coeff, n_grid: int, max_cycles: int = 40,
-              coarse_iters: int = 96, tol: float = 1e-6):
-    """Batched MG(V(1,1) RB-GS)-preconditioned flexible-CG Darcy solve.
+def _darcy_mg(coeff, n_grid: int, max_cycles: int = 24,
+              coarse_iters: int | None = None, tol: float = 4e-3):
+    """Batched stationary-MG (V(1,1) RB-GS) Darcy solve, true-residual
+    monitored.
 
     -∇·(a∇u) = 1, u|∂ = 0 on an n×n vertex grid; coeff: (B, n, n).
-    Two-to-four grid levels (vertex-aligned factor-2 while n is odd) with
+    Two-to-three grid levels (vertex-aligned factor-2 while n is odd) with
     injected coefficients and rediscretized operators; the coarsest level
-    runs a fixed-count Jacobi-CG.  Flexible CG (Polak–Ribière beta) on the
-    outside tolerates the slightly nonlinear preconditioner.  ~100× less
-    fine-grid work than the single-level Jacobi-CG at 421².
+    runs a re-anchored Jacobi-CG sized to the coarse grid (~3·n_c
+    iterations — an under-converged coarse solve makes the first V-cycle
+    AMPLIFY the residual ~3×, which is what broke the earlier flexible-CG
+    wrapper on smooth tau=3 fields).  The outer loop is the plain
+    stationary iteration u += V(b - Au), stopped on the f32 true residual:
+    it is monotone where FCG around a nonlinear/indefinite preconditioner
+    was not.  tol=4e-3 sits just above the f32 representation floor of the
+    residual at 421² (‖A‖·eps_f32·‖u‖; samples at the floor would
+    otherwise burn max_cycles; darcy_mg_jax's f64 gate catches true
+    non-convergence).
     """
     sizes = _mg_sizes(n_grid)
+    if coarse_iters is None:
+        coarse_iters = 3 * sizes[-1]
 
     def single(a0):
         # per-level coefficient (injection keeps the {hi, lo} structure),
@@ -318,12 +328,17 @@ def _darcy_mg(coeff, n_grid: int, max_cycles: int = 40,
             apply_A, diag, _ = ops[-1]
             m_inv = jnp.pad(1.0 / diag, 1)
 
-            def body(_, st):
+            # plain Jacobi-CG with the f32 recurrence residual
+            # re-anchored to the true residual every 100 iterations
+            def body2(it, st):
                 u, r, p, rz = st
                 ap = apply_A(p)
                 alpha = rz / jnp.vdot(p, ap)
                 u = u + alpha * p
-                r = r - alpha * ap
+                r_rec = r - alpha * ap
+                r = jax.lax.cond((it + 1) % 100 == 0,
+                                 lambda _: b - apply_A(u),
+                                 lambda rr: rr, r_rec)
                 z = m_inv * r
                 rz_new = jnp.vdot(r, z)
                 p = z + (rz_new / rz) * p
@@ -331,7 +346,7 @@ def _darcy_mg(coeff, n_grid: int, max_cycles: int = 40,
 
             z0 = m_inv * b
             st = (jnp.zeros_like(b), b, z0, jnp.vdot(b, z0))
-            u, *_ = jax.lax.fori_loop(0, coarse_iters, body, st)
+            u, *_ = jax.lax.fori_loop(0, coarse_iters, body2, st)
             return u
 
         def vcycle(lvl, b):
@@ -348,36 +363,60 @@ def _darcy_mg(coeff, n_grid: int, max_cycles: int = 40,
         b = jnp.pad(jnp.ones((n_grid - 2, n_grid - 2), jnp.float32), 1)
         b_norm = jnp.linalg.norm(b)
 
-        def fcg_body(st):
-            u, r, z_prev, p, it = st
-            ap = apply_A(p)
-            alpha = jnp.vdot(r, z_prev) / jnp.vdot(p, ap)
-            u = u + alpha * p
-            r_new = b - apply_A(u)          # true residual (f32 re-anchor)
-            z = vcycle(0, r_new)
-            # Polak–Ribière (flexible) beta
-            beta = jnp.vdot(z, r_new - r) / jnp.vdot(z_prev, r)
-            p = z + beta * p
-            return u, r_new, z, p, it + 1
+        def body(st):
+            u, _, it = st
+            r = b - apply_A(u)          # true residual every cycle
+            u = u + vcycle(0, r)
+            return u, jnp.linalg.norm(r), it + 1
 
-        def fcg_cond(st):
-            _, r, _, _, it = st
-            return (jnp.linalg.norm(r) > tol * b_norm) & (it < max_cycles)
+        def cond(st):
+            _, rn, it = st
+            return (rn > tol * b_norm) & (it < max_cycles)
 
-        r0 = b
-        z0 = vcycle(0, r0)
-        u, *_ = jax.lax.while_loop(fcg_cond, fcg_body,
-                                   (jnp.zeros_like(b), r0, z0, z0, 0))
+        u, *_ = jax.lax.while_loop(
+            cond, body, (jnp.zeros_like(b), 2.0 * b_norm, 0))
         return u
 
     return jax.vmap(single)(coeff.astype(jnp.float32))
 
 
+def _fd_residual_host(coeff: np.ndarray, sol: np.ndarray) -> np.ndarray:
+    """Relative FD residual ‖b − Au‖/‖b‖ per sample, evaluated in f64 on
+    host — the data-quality gate for generated Darcy solutions."""
+    a = np.asarray(coeff, np.float64)
+    u = np.asarray(sol, np.float64)
+    n = a.shape[-1]
+    inv_h2 = (n - 1.0) ** 2
+
+    def face(a1, a2):
+        return 2.0 * a1 * a2 / (a1 + a2)
+
+    aw = face(a[:, 1:-1, 1:-1], a[:, 1:-1, :-2])
+    ae = face(a[:, 1:-1, 1:-1], a[:, 1:-1, 2:])
+    an = face(a[:, 1:-1, 1:-1], a[:, :-2, 1:-1])
+    as_ = face(a[:, 1:-1, 1:-1], a[:, 2:, 1:-1])
+    au = ((aw + ae + an + as_) * u[:, 1:-1, 1:-1]
+          - aw * u[:, 1:-1, :-2] - ae * u[:, 1:-1, 2:]
+          - an * u[:, :-2, 1:-1] - as_ * u[:, 2:, 1:-1]) * inv_h2
+    r = 1.0 - au
+    return (np.linalg.norm(r.reshape(len(a), -1), axis=1)
+            / np.sqrt(r[0].size))
+
+
 def darcy_mg_jax(n_samples: int = 64, n_grid: int = 421,
                  seed: int = 1127802, hi: float = 12.0, lo: float = 3.0,
-                 batch: int = 64, max_cycles: int = 40) -> tuple:
+                 batch: int = 64, max_cycles: int = 24,
+                 residual_gate: float = 0.05) -> tuple:
     """Multigrid Darcy data generation — same contract as synthetic.darcy_fd
-    / darcy_cg_jax, ~100× less device work than the single-level CG."""
+    / darcy_cg_jax, ~20× less device work than the single-level CG.
+
+    Every solution is residual-checked in f64 on host; samples above
+    ``residual_gate`` (garbage-data guard — a converged f32 solution sits
+    at ~1e-2 by representation alone at 421²) are re-solved with the
+    restarted Jacobi-CG fallback, and a RuntimeError is raised if any
+    still fail.  This is what keeps unconverged solves from silently
+    becoming training data.
+    """
     key = jax.random.key(seed)
     # tau=3, alpha=2: the reference piececonst covariance
     # (-grad^2 + 9I)^(-2) — tau enters squared
@@ -387,6 +426,23 @@ def darcy_mg_jax(n_samples: int = 64, n_grid: int = 421,
     for i in range(0, n_samples, batch):
         sols.append(_darcy_mg(coeff[i:i + batch], n_grid,
                               max_cycles=max_cycles))
-    sol = jnp.concatenate(sols, axis=0)
-    return (np.asarray(coeff, dtype=np.float64),
-            np.asarray(sol, dtype=np.float64))
+    sol = np.asarray(jnp.concatenate(sols, axis=0), dtype=np.float64)
+    coeff = np.asarray(coeff, dtype=np.float64)
+
+    res = _fd_residual_host(coeff, sol)
+    bad = np.flatnonzero(res > residual_gate)
+    if bad.size:
+        print(f"darcy_mg_jax: {bad.size}/{n_samples} solutions above the "
+              f"{residual_gate} residual gate (max {res.max():.2e}) — "
+              "re-solving with restarted CG")
+        for i in range(0, bad.size, 16):
+            idx = bad[i:i + 16]
+            sol[idx] = np.asarray(
+                _darcy_cg(jnp.asarray(coeff[idx], jnp.float32), n_grid,
+                          max_iters=12000), dtype=np.float64)
+        res_bad = _fd_residual_host(coeff[bad], sol[bad])
+        if (res_bad > residual_gate).any():
+            raise RuntimeError(
+                f"Darcy generation failed the residual gate even after CG "
+                f"fallback (worst {res_bad.max():.2e} > {residual_gate})")
+    return coeff, sol

@@ -119,3 +119,24 @@ def test_jax_darcy_cg_solves():
            + an * (u[1:-1, 1:-1] - u[:-2, 1:-1])
            + as_ * (u[1:-1, 1:-1] - u[2:, 1:-1])) / h ** 2
     np.testing.assert_allclose(res, np.ones_like(res), rtol=1e-3, atol=1e-4)
+
+
+def test_jax_darcy_mg_tau3_fields_and_residual_gate():
+    """MG converges on the smooth tau=3 (reference-covariance) fields that
+    stalled the earlier FCG wrapper, and darcy_mg_jax's f64 residual gate
+    passes the returned dataset."""
+    import jax.numpy as jnp
+    from galerkin_transformer_tpu.data.synthetic_jax import (
+        _darcy_mg, _fd_residual_host, darcy_mg_jax)
+    from galerkin_transformer_tpu.data.synthetic import grf_2d
+
+    rng = np.random.default_rng(3)
+    n = 85  # 85 -> 43 -> 22 hierarchy; coarse solve sized to the grid
+    g = grf_2d(3, n, rng, tau=3.0, alpha=2.0)
+    coeff = np.where(g >= 0, 12.0, 3.0)
+    sol = np.asarray(_darcy_mg(jnp.asarray(coeff), n))
+    res = _fd_residual_host(coeff, sol)
+    assert (res < 0.05).all(), res
+
+    coeff2, sol2 = darcy_mg_jax(2, 61, seed=5)
+    assert (_fd_residual_host(coeff2, sol2) < 0.05).all()
