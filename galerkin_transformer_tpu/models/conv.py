@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.interp import bilinear_resize
-from .layers import get_activation
+from .layers import get_activation, torch_linear_init
 
 
 class Shortcut2d(nn.Module):
@@ -30,7 +30,8 @@ class Shortcut2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.out_features, name="shortcut")(x)
+        return nn.Dense(self.out_features, name="shortcut",
+                        **torch_linear_init(x.shape[-1]))(x)
 
 
 class Conv2dResBlock(nn.Module):
@@ -53,17 +54,22 @@ class Conv2dResBlock(nn.Module):
         act = get_activation(self.activation_type, "silu")
         h = x
         pad = ((self.padding, self.padding), (self.padding, self.padding))
+        conv_init = torch_linear_init(
+            x.shape[-1] * self.kernel_size ** 2)["kernel_init"]
         x = nn.Conv(self.out_dim, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding=pad,
                     kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, name="conv")(x)
+                    use_bias=False, kernel_init=conv_init, name="conv")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         if self.basic_block:
             x = act(x)
             x = nn.Conv(self.out_dim, (self.kernel_size, self.kernel_size),
                         padding=((self.padding, self.padding),
                                  (self.padding, self.padding)),
-                        use_bias=False, name="conv1")(x)
+                        use_bias=False,
+                        kernel_init=torch_linear_init(
+                            x.shape[-1] * self.kernel_size ** 2)["kernel_init"],
+                        name="conv1")(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         if self.residual:
             if h.shape[-1] != self.out_dim:
@@ -205,12 +211,14 @@ class ConvTranspose2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        # torch ConvTranspose2d default init: fan_in = out_ch * k**2
+        ti = torch_linear_init(self.out_dim * k * k)
+        kernel = self.param("kernel", ti["kernel_init"],
                             (k, k, x.shape[-1], self.out_dim))
         y = _conv_transpose2d(x, kernel.astype(x.dtype), self.stride,
                               self.padding, self.output_padding)
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+            bias = self.param("bias", ti["bias_init"], (self.out_dim,))
             y = y + bias.astype(y.dtype)
         return y
 

@@ -8,7 +8,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..utils.misc import default
-from .layers import FeedForward, PositionalEncoding, SimpleAttention
+from .layers import (FeedForward, PositionalEncoding, SimpleAttention,
+                     torch_linear_init)
 
 
 class SimpleTransformerEncoderLayer(nn.Module):
@@ -212,9 +213,11 @@ class VanillaTransformerEncoderLayer(nn.Module):
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         if self.layer_norm:
             src = nn.LayerNorm(epsilon=self.norm_eps, name="norm1")(src)
-        h = jax.nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(src))
+        h = jax.nn.relu(nn.Dense(self.dim_feedforward, name="linear1",
+                                 **torch_linear_init(src.shape[-1]))(src))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        src2 = nn.Dense(src.shape[-1], name="linear2")(h)
+        src2 = nn.Dense(src.shape[-1], name="linear2",
+                        **torch_linear_init(self.dim_feedforward))(h)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         if self.layer_norm:
             src = nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(src)

@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..ops.init import diagonal_dominant_init
 from ..utils.misc import default
-from .layers import FeedForward
+from .layers import FeedForward, torch_linear_init
 
 
 def orthogonal_random_matrix(key, rows: int, cols: int) -> jax.Array:
@@ -126,7 +126,8 @@ class RandomFourierAttention(nn.Module):
         out = out.reshape(bsz, n, h * d_k)
         if pos is not None:
             out = jnp.concatenate([out, pos.astype(out.dtype)], axis=-1)
-        return nn.Dense(self.d_model, name="out_projection")(out)
+        return nn.Dense(self.d_model, name="out_projection",
+                        **torch_linear_init(out.shape[-1]))(out)
 
 
 class RandomFourierEncoderLayer(nn.Module):

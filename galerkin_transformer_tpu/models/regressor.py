@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..utils.misc import default
-from .layers import SpectralConv1d, SpectralConv2d, get_activation
+from .layers import torch_linear_init, SpectralConv1d, SpectralConv2d, get_activation
 
 
 class PointwiseRegressor(nn.Module):
@@ -35,17 +35,22 @@ class PointwiseRegressor(nn.Module):
             from ..ops.init import scaled_xavier_uniform
             kinit = scaled_xavier_uniform(self.init_gain)
         else:
-            kinit = nn.initializers.lecun_normal()
-        dense = lambda feats, name: nn.Dense(
-            feats, kernel_init=kinit, bias_init=nn.initializers.zeros, name=name)
+            kinit = None  # fall through to the torch nn.Linear default
+
+        def dense(feats, name, fan_in):
+            # reference re-init (model.py:819-830) touches only ndim>1
+            # params — biases keep their torch nn.Linear uniform draw
+            ti = torch_linear_init(fan_in)
+            return nn.Dense(feats, kernel_init=kinit or ti["kernel_init"],
+                            bias_init=ti["bias_init"], name=name)
 
         if self.spacial_fc:
             x = jnp.concatenate([x, grid.astype(x.dtype)], axis=-1)
-            x = dense(self.n_hidden, "fc")(x)
+            x = dense(self.n_hidden, "fc", x.shape[-1])(x)
         for i in range(self.num_layers):
-            x = act(dense(self.n_hidden, f"ff{i}")(x))
+            x = act(dense(self.n_hidden, f"ff{i}", x.shape[-1])(x))
             x = nn.Dropout(dropout)(x, deterministic=deterministic)
-        x = dense(self.out_dim, "out")(x)
+        x = dense(self.out_dim, "out", x.shape[-1])(x)
         if self.return_latent:
             return x, None
         return x
@@ -87,7 +92,8 @@ class SpectralRegressor(nn.Module):
         x_latent = []
         if self.spacial_fc:
             x = jnp.concatenate([x, grid.astype(x.dtype)], axis=-1)
-            x = nn.Dense(self.n_hidden, name="fc")(x)
+            x = nn.Dense(self.n_hidden, name="fc",
+                         **torch_linear_init(x.shape[-1]))(x)
 
         n_layers = self.num_spectral_layers
         for i in range(n_layers):
@@ -104,9 +110,11 @@ class SpectralRegressor(nn.Module):
 
         dim_ff = default(self.dim_feedforward,
                          2 * self.spacial_dim * self.freq_dim)
-        x = nn.Dense(dim_ff, name="regressor_fc1")(x)
+        x = nn.Dense(dim_ff, name="regressor_fc1",
+                     **torch_linear_init(x.shape[-1]))(x)
         x = act(x)
-        x = nn.Dense(self.out_dim, name="regressor_fc2")(x)
+        x = nn.Dense(self.out_dim, name="regressor_fc2",
+                     **torch_linear_init(dim_ff))(x)
 
         if self.return_freq or self.return_latent:
             return x, dict(preds_freq=None, preds_latent=x_latent)

@@ -25,7 +25,7 @@ from ..utils.misc import default
 from .encoder import (SimpleTransformerEncoderLayer,
                       VanillaTransformerEncoderLayer)
 from .graph import GAT, GCN
-from .layers import BulkRegressor, Identity
+from .layers import BulkRegressor, Identity, torch_linear_init
 from .regressor import PointwiseRegressor, SpectralRegressor
 from .scaler import DownScaler, UpScaler
 
@@ -197,8 +197,10 @@ class SimpleTransformer(_ConfigurableModel):
                                        name="freq_regressor")(
                     x, deterministic=deterministic)
             else:
-                h = nn.Dense(self.n_hidden, name="freq_fc1")(x)
-                x_freq = nn.Dense(self.n_freq_targets, name="freq_fc2")(
+                h = nn.Dense(self.n_hidden, name="freq_fc1",
+                             **torch_linear_init(x.shape[-1]))(x)
+                x_freq = nn.Dense(self.n_freq_targets, name="freq_fc2",
+                                  **torch_linear_init(self.n_hidden))(
                     jnp.maximum(h, 0))
             x_freq = x_freq[:, : self.pred_len, :]
 
@@ -362,7 +364,8 @@ class FourierTransformer2D(_ConfigurableModel):
                     name=f"encoder_layer{i}")(x, deterministic=deterministic)
                 if self.return_latent:
                     x_latent.append(x)
-            x = nn.Dense(self.n_hidden, name="official_proj")(x)
+            x = nn.Dense(self.n_hidden, name="official_proj",
+                         **torch_linear_init(x.shape[-1]))(x)
             num_encoder_layers = 0
         for i in range(num_encoder_layers):
             layer = SimpleTransformerEncoderLayer(

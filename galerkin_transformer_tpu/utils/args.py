@@ -19,6 +19,9 @@ def get_args_1d(argv=None):
     p.add_argument("--ffn-dropout", type=float, default=0.0)
     p.add_argument("--encoder-dropout", type=float, default=0.0)
     p.add_argument("--decoder-dropout", type=float, default=0.0)
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="attention score-matrix dropout (the reference "
+                        "trained ex1 with an accidental 0.5 here)")
     p.add_argument("--layer-norm", action="store_true", default=False)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-3)
