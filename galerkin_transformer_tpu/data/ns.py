@@ -55,8 +55,26 @@ class NavierStokesDatasetLite:
         if os.path.exists(cache):
             with np.load(cache) as z:
                 return z["u"]
-        u = navier_stokes_spectral(self.n_samples_synthetic, self.n_grid,
-                                   n_steps_record=n_rec, seed=seed)
+        work = self.n_samples_synthetic * self.n_grid ** 2
+        if work > 16 * 64 ** 2:
+            # large workload: device pseudo-spectral solver (512 trajectories
+            # of 20 s simulated in ~206 s on one v5e vs hours on this host)
+            try:
+                from .synthetic_jax import navier_stokes_spectral_jax
+                with timer(f"Generating {self.n_samples_synthetic} NS "
+                           f"trajectories at {self.n_grid}² (device)"):
+                    u = navier_stokes_spectral_jax(
+                        self.n_samples_synthetic, self.n_grid,
+                        n_steps_record=n_rec, seed=seed)
+            except Exception as e:  # no usable accelerator — host fallback
+                print(f"device NS generation unavailable ({e!r}); "
+                      "falling back to host spectral solver")
+                u = navier_stokes_spectral(self.n_samples_synthetic,
+                                           self.n_grid, n_steps_record=n_rec,
+                                           seed=seed)
+        else:
+            u = navier_stokes_spectral(self.n_samples_synthetic, self.n_grid,
+                                       n_steps_record=n_rec, seed=seed)
         try:
             os.makedirs(DATA_PATH, exist_ok=True)
             np.savez_compressed(cache, u=u)
