@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--gamma", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=1127802)
+    ap.add_argument("--out", type=str, default=None,
+                    help="output json path (default eval/calibration_burgers.json)")
     args = ap.parse_args()
 
     import numpy as np
@@ -51,8 +54,8 @@ def main():
 
     from galerkin_transformer_tpu.data import BurgersDataset, DataLoader
 
-    torch.manual_seed(1127802)
-    np.random.seed(1127802)
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
 
     train_ds = BurgersDataset(subsample=args.subsample, train_data=True,
                               train_portion=0.5,
@@ -99,6 +102,20 @@ def main():
     best = float("inf")
     history = []
     t0 = time.time()
+    path = args.out or os.path.join(REPO, "eval", "calibration_burgers.json")
+
+    def dump():
+        out = dict(framework="torch-reference",
+                   data="repo-synthetic-burgers",
+                   subsample=args.subsample, n_grid=n, epochs=args.epochs,
+                   seed=args.seed, epochs_done=len(history),
+                   n_train=len(train_ds), n_valid=len(valid_ds),
+                   best_val_metric=best, history=history,
+                   wall_s=round(time.time() - t0, 1))
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+
     for ep in range(args.epochs):
         model.train()
         for data in TorchBatches(train_loader):
@@ -112,16 +129,9 @@ def main():
         print(f"[torch-ref] epoch {ep + 1}/{args.epochs} "
               f"val {metric:.4e} best {best:.4e} "
               f"({time.time() - t0:.0f}s)", flush=True)
+        dump()  # progressive save: long runs keep a usable partial curve
 
-    out = dict(framework="torch-reference", data="repo-synthetic-burgers",
-               subsample=args.subsample, n_grid=n, epochs=args.epochs,
-               n_train=len(train_ds), n_valid=len(valid_ds),
-               best_val_metric=best, history=history,
-               wall_s=round(time.time() - t0, 1))
-    path = os.path.join(REPO, "eval", "calibration_burgers.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    print(json.dumps(dump()))
 
 
 if __name__ == "__main__":

@@ -72,9 +72,11 @@ def main(argv=None):
 
     h = (1 / 2 ** 13) * args.subsample
     total_steps = len(train_loader) * args.epochs
+    plateau = None
     if args.scheduler == "plateau":
         from galerkin_transformer_tpu.train.schedule import adam_plateau
-        tx, sched = adam_plateau(args.lr, grad_clip=0.999)
+        tx, plateau = adam_plateau(args.lr, grad_clip=0.999)
+        sched = None
     else:
         tx, sched = adam_onecycle(args.lr, total_steps, pct_start=0.2,
                                   grad_clip=0.999)
@@ -82,14 +84,13 @@ def main(argv=None):
 
     loss_fn = WeightedL2Loss(regularizer=True, h=h, gamma=args.gamma)
     metric_fn = WeightedL2Loss(regularizer=False, h=h)
-    train_step, eval_step = make_burgers_steps(
-        model, loss_fn, metric_fn, tx,
-        needs_value=(args.scheduler == "plateau"))
+    train_step, eval_step = make_burgers_steps(model, loss_fn, metric_fn, tx)
 
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,
         train_loader, valid_loader, jax.random.key(args.seed),
-        epochs=args.epochs, lr_schedule=sched, patience=None,
+        epochs=args.epochs, lr_schedule=sched, plateau=plateau,
+        patience=None,
         model_save_path=MODEL_PATH, model_name=model_name,
         result_name=result_name, ema_decay=args.ema_decay,
         device_loop=args.device_data,

@@ -90,7 +90,14 @@ def main(argv=None):
         "fourier", "softmax") else args.lr
     h = 1 / n_grid
     total_steps = len(train_loader) * args.epochs
-    tx, sched = adam_onecycle(lr, total_steps, pct_start=0.3, grad_clip=0.99)
+    plateau = None
+    if args.scheduler == "plateau":
+        from galerkin_transformer_tpu.train.schedule import adam_plateau
+        tx, plateau = adam_plateau(lr, grad_clip=0.99)
+        sched = None
+    else:
+        tx, sched = adam_onecycle(lr, total_steps, pct_start=0.3,
+                                  grad_clip=0.99)
     opt_state = tx.init(params)
 
     loss_fn = WeightedL2Loss2d(regularizer=True, h=h, gamma=args.gamma)
@@ -101,7 +108,8 @@ def main(argv=None):
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,
         train_loader, valid_loader, jax.random.key(args.seed),
-        epochs=args.epochs, lr_schedule=sched, patience=None,
+        epochs=args.epochs, lr_schedule=sched, plateau=plateau,
+        patience=None,
         model_save_path=MODEL_PATH, model_name=model_name,
         result_name=result_name, ema_decay=args.ema_decay,
         device_loop=args.device_data,

@@ -85,8 +85,14 @@ def main(argv=None):
 
     h = 1 / n_grid_c
     total_steps = len(train_loader) * args.epochs
-    tx, sched = adam_onecycle(args.lr, total_steps, pct_start=0.3,
-                              grad_clip=0.99)
+    plateau = None
+    if args.scheduler == "plateau":
+        from galerkin_transformer_tpu.train.schedule import adam_plateau
+        tx, plateau = adam_plateau(args.lr, grad_clip=0.99)
+        sched = None
+    else:
+        tx, sched = adam_onecycle(args.lr, total_steps, pct_start=0.3,
+                                  grad_clip=0.99)
     opt_state = tx.init(params)
 
     loss_fn = WeightedL2Loss2d(regularizer=False, h=h)
@@ -97,7 +103,8 @@ def main(argv=None):
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,
         train_loader, valid_loader, jax.random.key(args.seed),
-        epochs=args.epochs, lr_schedule=sched, patience=None,
+        epochs=args.epochs, lr_schedule=sched, plateau=plateau,
+        patience=None,
         model_save_path=MODEL_PATH, model_name=model_name,
         result_name=result_name, ema_decay=args.ema_decay,
         device_loop=args.device_data,

@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--n-samples", type=int, default=64)
     p.add_argument("--fast-matmul", action="store_true", default=False)
     p.add_argument("--ema-decay", type=float, default=None)
+    p.add_argument("--scheduler", type=str, default="onecycle",
+                   choices=("onecycle", "plateau"))
     p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--resume-epoch", type=int, default=None)
@@ -71,7 +73,13 @@ def main(argv=None):
 
     h = 1 / train_dataset.n_grid
     total_steps = len(train_loader) * args.epochs
-    tx, sched = adam_onecycle(args.lr, total_steps, grad_clip=0.99)
+    plateau = None
+    if args.scheduler == "plateau":
+        from galerkin_transformer_tpu.train.schedule import adam_plateau
+        tx, plateau = adam_plateau(args.lr, grad_clip=0.99)
+        sched = None
+    else:
+        tx, sched = adam_onecycle(args.lr, total_steps, grad_clip=0.99)
     opt_state = tx.init(params)
 
     loss_fn = WeightedL2Loss2d(regularizer=True, h=h, gamma=args.gamma)
@@ -83,7 +91,8 @@ def main(argv=None):
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,
         train_loader, valid_loader, jax.random.key(args.seed),
-        epochs=args.epochs, lr_schedule=sched, patience=None,
+        epochs=args.epochs, lr_schedule=sched, plateau=plateau,
+        patience=None,
         model_save_path=MODEL_PATH, model_name="ns_lite.ckpt",
         result_name="ns_lite_result.pkl", ema_decay=args.ema_decay,
         device_loop=args.device_data,

@@ -89,14 +89,23 @@ class DarcyDataset:
         from .synthetic import darcy_fd
         seed = self.random_state + (0 if self.train_data else 7)
         # _t3: GRF correlation tag (tau=3 reference-covariance fields);
-        # pre-tag caches hold rougher tau=9 fields and must not be reused
-        cache = os.path.join(
-            DATA_PATH, f"darcy_synth_n{self.n_grid_fine}"
-            f"_s{self.n_samples_synthetic}_t3_seed{seed}.npz")
+        # pre-tag caches hold rougher tau=9 fields and must not be reused.
+        # _jax: generator tag — device (jax PRNG) and host (numpy PRNG)
+        # generators draw different streams from the same seed, so one
+        # filename never denotes two datasets
+        use_device = (self.n_samples_synthetic * self.n_grid_fine ** 2
+                      > 64 * 85 ** 2)
+
+        def cache_path(tag):
+            return os.path.join(
+                DATA_PATH, f"darcy_synth_n{self.n_grid_fine}"
+                f"_s{self.n_samples_synthetic}_t3{tag}_seed{seed}.npz")
+
+        cache = cache_path("_jax" if use_device else "")
         if os.path.exists(cache):
             with np.load(cache) as z:
                 return z["coeff"], z["sol"]
-        if self.n_samples_synthetic * self.n_grid_fine ** 2 > 64 * 85 ** 2:
+        if use_device:
             # large workload: device-side multigrid generator (~25 ms/sample
             # at 421² on one v5e vs ~10 s/sample for the host direct solve)
             try:
@@ -108,6 +117,7 @@ class DarcyDataset:
             except Exception as e:  # no usable accelerator — host fallback
                 print(f"device Darcy generation unavailable ({e!r}); "
                       "falling back to host sparse-direct solve")
+                cache = cache_path("")
                 coeff, sol = darcy_fd(self.n_samples_synthetic,
                                       self.n_grid_fine, seed=seed)
         else:

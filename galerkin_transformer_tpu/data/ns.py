@@ -49,14 +49,23 @@ class NavierStokesDatasetLite:
         from .synthetic import navier_stokes_spectral
         seed = self.random_state + (0 if self.train_data else 7)
         n_rec = self.time_steps_input + self.time_steps_output
-        cache = os.path.join(
-            DATA_PATH, f"ns_synth_n{self.n_grid}_s{self.n_samples_synthetic}"
-            f"_t{n_rec}_seed{seed}.npz")
+        # device (jax PRNG) and host (numpy PRNG) generators draw different
+        # streams from the same seed — the cache name carries a generator
+        # tag so one filename never denotes two datasets
+        work = self.n_samples_synthetic * self.n_grid ** 2
+        use_device = work > 16 * 64 ** 2
+
+        def cache_path(tag):
+            return os.path.join(
+                DATA_PATH,
+                f"ns_synth_n{self.n_grid}_s{self.n_samples_synthetic}"
+                f"_t{n_rec}{tag}_seed{seed}.npz")
+
+        cache = cache_path("_jax" if use_device else "")
         if os.path.exists(cache):
             with np.load(cache) as z:
                 return z["u"]
-        work = self.n_samples_synthetic * self.n_grid ** 2
-        if work > 16 * 64 ** 2:
+        if use_device:
             # large workload: device pseudo-spectral solver (512 trajectories
             # of 20 s simulated in ~206 s on one v5e vs hours on this host)
             try:
@@ -69,6 +78,7 @@ class NavierStokesDatasetLite:
             except Exception as e:  # no usable accelerator — host fallback
                 print(f"device NS generation unavailable ({e!r}); "
                       "falling back to host spectral solver")
+                cache = cache_path("")
                 u = navier_stokes_spectral(self.n_samples_synthetic,
                                            self.n_grid, n_steps_record=n_rec,
                                            seed=seed)

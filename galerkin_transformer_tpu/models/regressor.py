@@ -38,10 +38,14 @@ class PointwiseRegressor(nn.Module):
             kinit = None  # fall through to the torch nn.Linear default
 
         def dense(feats, name, fan_in):
-            # reference re-init (model.py:819-830) touches only ndim>1
-            # params — biases keep their torch nn.Linear uniform draw
+            # reference re-init (model.py:825-830): ndim>1 params get
+            # xavier_uniform(gain), ndim<=1 params constant_(0) — so on
+            # the init_gain path biases are zeros, not the torch draw
             ti = torch_linear_init(fan_in)
-            return nn.Dense(feats, kernel_init=kinit or ti["kernel_init"],
+            if kinit is not None:
+                return nn.Dense(feats, kernel_init=kinit,
+                                bias_init=nn.initializers.zeros, name=name)
+            return nn.Dense(feats, kernel_init=ti["kernel_init"],
                             bias_init=ti["bias_init"], name=name)
 
         if self.spacial_fc:

@@ -56,7 +56,7 @@ class DeviceEpochRunner:
     def __init__(self, train_step: Callable, eval_step: Callable,
                  train_loader, valid_loader,
                  ema_decay: Optional[float] = None,
-                 shuffle_seed: int = 1127802,
+                 shuffle_seed: Optional[int] = None,
                  verbose: bool = True):
         if getattr(train_loader, "num_shards", 1) != 1:
             raise ValueError(
@@ -80,8 +80,13 @@ class DeviceEpochRunner:
                   f"1 dispatch/epoch")
         rem = self.n_train - self.n_batches * self.batch_size
         if rem and not getattr(train_loader, "drop_last", True):
-            print(f"note: device epoch drops the ragged last train batch "
-                  f"({rem} samples) each epoch")
+            # the scanned epoch needs static batch shapes; silently training
+            # on fewer samples than the host loop would is a footgun
+            raise ValueError(
+                f"device epoch loop requires drop_last=True when the train "
+                f"set is ragged ({self.n_train} % {self.batch_size} = {rem} "
+                f"samples would be dropped); pass drop_last=True to the "
+                f"DataLoader or use the host loop (--no-device-data)")
         self.train_data = {k: jnp.asarray(v) for k, v in train_np.items()}
 
         # pre-batch the validation set: full batches + optional ragged tail
@@ -97,6 +102,10 @@ class DeviceEpochRunner:
             if n_valid % vbs else None)
         self._valid_counts = (n_full * vbs, n_valid % vbs)
 
+        # follow the DataLoader's seed (the driver's --seed) so device- and
+        # host-loop runs draw from the same run-identity, not a fixed const
+        if shuffle_seed is None:
+            shuffle_seed = getattr(train_loader, "seed", 1127802)
         self._key = jax.random.key(shuffle_seed)
         self._epoch_fn = jax.jit(self._build(), donate_argnums=(0, 1, 3))
 

@@ -48,20 +48,102 @@ def adam_onecycle(max_lr: float, total_steps: int,
     return tx, sched
 
 
+class PlateauController:
+    """Host-side ReduceLROnPlateau stepped ONCE PER EPOCH on the epoch
+    validation metric — matching the reference's EPOCH_SCHEDULERS
+    semantics (utils_ft.py:744-745, 813-817: ``scheduler.step(metric)``
+    after ``validate_epoch``), with torch's defaults (mode='min',
+    rel threshold 1e-4, patience counted in epochs).
+
+    The optimizer's lr lives in the optax state via
+    ``optax.inject_hyperparams``; :meth:`step` rewrites that leaf when a
+    reduction triggers, so the jitted train step needs no ``value=``
+    side-channel and the patience clock ticks per epoch, not per batch.
+    """
+
+    def __init__(self, init_lr: float, factor: float = 0.5,
+                 patience: int = 10, threshold: float = 1e-4,
+                 min_lr: float = 0.0, mode: str = "min",
+                 verbose: bool = True):
+        self.lr = float(init_lr)
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.mode = mode
+        self.verbose = verbose
+        self.best = float("inf") if mode == "min" else -float("inf")
+        self.num_bad_epochs = 0
+
+    def _is_better(self, metric: float) -> bool:
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric > self.best * (1.0 + self.threshold)
+
+    def step(self, opt_state, metric: float):
+        """Consume one epoch's validation metric; return (possibly
+        lr-rewritten) opt_state."""
+        metric = float(metric)
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            new_lr = max(self.lr * self.factor, self.min_lr)
+            if new_lr < self.lr:
+                self.lr = new_lr
+                opt_state = _set_injected_lr(opt_state, new_lr)
+                if self.verbose:
+                    print(f"ReduceLROnPlateau: lr -> {new_lr:.3e}",
+                          flush=True)
+            self.num_bad_epochs = 0
+        return opt_state
+
+
+def _set_injected_lr(opt_state, lr: float):
+    """Rewrite the learning_rate hyperparam leaf inside an optax state
+    tree containing an InjectHyperparamsState (chain-position agnostic)."""
+    import jax.numpy as jnp
+
+    found = []
+
+    def rewrite(state):
+        if hasattr(state, "hyperparams") and \
+                "learning_rate" in getattr(state, "hyperparams", {}):
+            found.append(True)
+            hp = dict(state.hyperparams)
+            hp["learning_rate"] = jnp.asarray(
+                lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+            return state._replace(hyperparams=hp)
+        if isinstance(state, tuple) and not hasattr(state, "_fields"):
+            return tuple(rewrite(s) for s in state)
+        return state
+
+    new_state = rewrite(opt_state)
+    if not found:
+        raise ValueError("opt_state contains no InjectHyperparamsState "
+                         "with a learning_rate — build it via "
+                         "adam_plateau()")
+    return new_state
+
+
 def adam_plateau(lr: float = 1e-3, grad_clip: float = 0.999,
                  patience: int = 10, factor: float = 0.5,
-                 min_scale: float = 1e-4):
-    """Adam + clip + ReduceLROnPlateau — the reference's per-epoch scheduler
-    family (EPOCH_SCHEDULERS, utils_ft.py:744-745, 813-817).
+                 min_lr: float = 0.0):
+    """Adam + clip with a per-EPOCH ReduceLROnPlateau controller — the
+    reference's per-epoch scheduler family (EPOCH_SCHEDULERS,
+    utils_ft.py:744-745, 813-817).
 
-    The returned transform consumes a ``value=`` kwarg at update time
-    (pass the epoch/batch loss); train.steps factories forward it when
-    built with ``needs_value=True``.
+    Returns ``(tx, controller)``.  Pass ``plateau=controller`` to
+    ``run_train``: after each epoch's validation it calls
+    ``controller.step(opt_state, val_metric)``, which matches torch's
+    ``scheduler.step(metric)`` placement exactly (patience in epochs, on
+    the validation metric — NOT per optimizer step on the train loss).
     """
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adam(lr),
-        optax.contrib.reduce_on_plateau(
-            patience=patience, factor=factor, min_scale=min_scale),
+        optax.inject_hyperparams(optax.adam)(learning_rate=lr),
     )
-    return tx, None
+    return tx, PlateauController(lr, factor=factor, patience=patience,
+                                 min_lr=min_lr)

@@ -52,6 +52,7 @@ def run_train(train_step: Callable,
               rng,
               epochs: int = 10,
               lr_schedule: Optional[Callable] = None,
+              plateau=None,
               patience: Optional[int] = 10,
               mode: str = "min",
               start_epoch: int = 0,
@@ -187,6 +188,11 @@ def run_train(train_step: Callable,
             val_metric = validate_epoch(eval_step, eval_params, valid_loader)
         loss_val.append(val_metric)
 
+        if plateau is not None:
+            # reference EPOCH_SCHEDULERS placement (utils_ft.py:813-817):
+            # scheduler.step(val_metric) once per epoch, after validation
+            opt_state = plateau.step(opt_state, val_metric)
+
         improved = np.isfinite(val_metric) and (
             val_metric > best_val if mode == "max" else val_metric < best_val)
         if improved:
@@ -222,7 +228,8 @@ def run_train(train_step: Callable,
                     epoch=epoch, loss=[float(v) for v in loss_mean],
                     val=val_metric, best=best_val,
                     lr=(float(lr_schedule(it - 1))
-                        if lr_schedule is not None else None),
+                        if lr_schedule is not None else
+                        (plateau.lr if plateau is not None else None)),
                     seconds=round(time.perf_counter() - t0, 2))) + "\n")
         except OSError:
             pass

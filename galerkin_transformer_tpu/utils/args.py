@@ -88,6 +88,10 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
                    help="bfloat16 encoder activations (params/decoder stay f32)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="parameter EMA decay for eval/checkpoints, e.g. 0.999")
+    p.add_argument("--scheduler", type=str, default="onecycle",
+                   choices=("onecycle", "plateau"),
+                   help="per-batch 1cycle (reference default) or per-epoch "
+                        "ReduceLROnPlateau (reference EPOCH_SCHEDULERS family)")
     p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="keep the dataset in HBM and run each epoch as one "
