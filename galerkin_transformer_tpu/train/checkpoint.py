@@ -16,25 +16,39 @@ from typing import Any, Optional
 from flax import serialization
 
 
-def save_checkpoint(path: str, params: Any, opt_state: Optional[Any] = None):
+def save_checkpoint(path: str, params: Any, opt_state: Optional[Any] = None,
+                    train_params: Optional[Any] = None):
+    """`params` is the deployable tree (the EMA average when EMA is on);
+    `train_params` optionally carries the raw training trajectory so a
+    resumed run continues the raw params, not the average."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {"params": serialization.to_bytes(params)}
     if opt_state is not None:
         payload["opt_state"] = serialization.to_bytes(opt_state)
+    if train_params is not None:
+        payload["train_params"] = serialization.to_bytes(train_params)
     with open(path, "wb") as f:
         pickle.dump(payload, f)
 
 
 def load_checkpoint(path: str, params_template: Any,
-                    opt_state_template: Optional[Any] = None):
+                    opt_state_template: Optional[Any] = None,
+                    with_train_params: bool = False):
+    """Returns `params` (deployable tree), optionally followed by
+    `opt_state`, optionally followed by the raw `train_params` tree
+    (None for checkpoints written without EMA)."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
     params = serialization.from_bytes(params_template, payload["params"])
+    out = (params,)
     if opt_state_template is not None and "opt_state" in payload:
-        opt_state = serialization.from_bytes(opt_state_template,
-                                             payload["opt_state"])
-        return params, opt_state
-    return params
+        out = out + (serialization.from_bytes(opt_state_template,
+                                              payload["opt_state"]),)
+    if with_train_params:
+        tp = payload.get("train_params")
+        out = out + (serialization.from_bytes(params_template, tp)
+                     if tp is not None else None,)
+    return out if len(out) > 1 else out[0]
 
 
 class AsyncCheckpointer:
@@ -65,24 +79,43 @@ class AsyncCheckpointer:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, enable_async_checkpointing=True))
 
-    def save(self, step: int, params: Any, opt_state: Optional[Any] = None):
+    def save(self, step: int, params: Any, opt_state: Optional[Any] = None,
+             train_params: Optional[Any] = None):
+        """`params` = deployable tree (EMA average when EMA is on);
+        `train_params` = raw training trajectory for resume."""
         tree = {"params": params}
         if opt_state is not None:
             tree["opt_state"] = opt_state
+        if train_params is not None:
+            tree["train_params"] = train_params
         self._mngr.save(step, args=self._ocp.args.StandardSave(tree))
 
     def restore(self, params_template: Any,
                 opt_state_template: Optional[Any] = None,
-                step: Optional[int] = None):
+                step: Optional[int] = None,
+                with_train_params: bool = False):
         step = self.latest_step() if step is None else step
         tree = {"params": params_template}
         if opt_state_template is not None:
             tree["opt_state"] = opt_state_template
-        out = self._mngr.restore(
-            step, args=self._ocp.args.StandardRestore(tree))
+        if with_train_params:
+            try:
+                out = self._mngr.restore(
+                    step, args=self._ocp.args.StandardRestore(
+                        dict(tree, train_params=params_template)))
+            except BaseException:  # checkpoint written without EMA
+                out = dict(self._mngr.restore(
+                    step, args=self._ocp.args.StandardRestore(tree)),
+                    train_params=None)
+        else:
+            out = self._mngr.restore(
+                step, args=self._ocp.args.StandardRestore(tree))
+        result = (out["params"],)
         if opt_state_template is not None:
-            return out["params"], out["opt_state"]
-        return out["params"]
+            result = result + (out["opt_state"],)
+        if with_train_params:
+            result = result + (out.get("train_params"),)
+        return result if len(result) > 1 else result[0]
 
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()

@@ -101,3 +101,36 @@ def test_device_epoch_ragged_validation():
     runner = DeviceEpochRunner(train_step, eval_step, tl, vl, verbose=False)
     *_, val = runner.epoch(params, opt_state, jax.random.key(0), None, 0)
     assert np.isfinite(val)
+
+
+def test_device_epoch_ragged_train_raises():
+    """drop_last=False with a ragged train set must be a loud error, not a
+    silently smaller epoch (ADVICE r2)."""
+    import pytest
+    from galerkin_transformer_tpu.train.device_loop import DeviceEpochRunner
+
+    _, tx, params, train_step, eval_step, _, vl = _tiny_setup()
+    tr = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
+                        train_portion=0.75, n_samples_synthetic=32)
+    tl = DataLoader(tr, 7, shuffle=False, drop_last=False)  # 24 % 7 != 0
+    with pytest.raises(ValueError, match="drop_last"):
+        DeviceEpochRunner(train_step, eval_step, tl, vl, verbose=False)
+
+
+def test_device_epoch_uses_loader_seed():
+    """The on-device shuffle key follows the DataLoader's seed (the
+    driver's --seed), so different seeds give different batch orders."""
+    from galerkin_transformer_tpu.train.device_loop import DeviceEpochRunner
+
+    _, tx, params, train_step, eval_step, tl, vl = _tiny_setup()
+    tr = tl.dataset
+    opt_state = tx.init(params)
+    orders = []
+    for seed in (1, 2):
+        loader = DataLoader(tr, 8, shuffle=True, drop_last=True, seed=seed)
+        runner = DeviceEpochRunner(train_step, eval_step, loader, vl,
+                                   verbose=False)
+        *_, losses, _ = runner.epoch(params, opt_state,
+                                     jax.random.key(0), None, 0)
+        orders.append(np.asarray(losses))
+    assert not np.allclose(orders[0], orders[1])

@@ -176,21 +176,59 @@ def test_darcy_step_runs():
 
 
 def test_plateau_scheduler_reduces_lr():
-    """ReduceLROnPlateau transform scales updates after `patience` epochs
-    without improvement."""
+    """PlateauController reduces the injected lr after `patience` EPOCHS
+    without improvement, and the per-step updates shrink accordingly."""
     import optax
     from galerkin_transformer_tpu.train.schedule import adam_plateau
-    tx, _ = adam_plateau(lr=1e-2, patience=2, factor=0.1)
+    tx, plateau = adam_plateau(lr=1e-2, patience=2, factor=0.1)
     params = {"w": jnp.ones(4)}
     opt_state = tx.init(params)
     grads = {"w": jnp.ones(4)}
-    scales = []
-    for step in range(8):
-        updates, opt_state = tx.update(grads, opt_state, params,
-                                       value=jnp.asarray(1.0))  # no improvement
-        params = optax.apply_updates(params, updates)
-        scales.append(float(jnp.abs(updates["w"]).max()))
-    assert scales[-1] < scales[0] * 0.5
+
+    def one_step(params, opt_state):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, \
+            float(jnp.abs(updates["w"]).max())
+
+    params, opt_state, scale0 = one_step(params, opt_state)
+    for epoch in range(4):  # flat metric: 2-epoch patience trips once
+        opt_state = plateau.step(opt_state, 1.0)
+    params, opt_state, scale1 = one_step(params, opt_state)
+    assert plateau.lr == pytest.approx(1e-3)
+    assert scale1 < scale0 * 0.5
+
+
+def test_plateau_controller_matches_torch():
+    """Same metric sequence => same lr trajectory as torch
+    ReduceLROnPlateau (the reference's EPOCH_SCHEDULERS member,
+    utils_ft.py:744-745, stepping once per epoch on the val metric)."""
+    torch = pytest.importorskip("torch")
+    from torch.optim.lr_scheduler import ReduceLROnPlateau
+    from galerkin_transformer_tpu.train.schedule import adam_plateau
+
+    metrics = [1.0, 0.8, 0.79, 0.791, 0.792, 0.788, 0.787, 0.7869,
+               0.78689, 0.7868, 0.78679, 0.786788, 0.786787, 0.786786,
+               0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58]
+    tx, plateau = adam_plateau(lr=1e-2, patience=3, factor=0.5)
+    params = {"w": jnp.ones(2)}
+    opt_state = tx.init(params)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-2)
+    tsched = ReduceLROnPlateau(opt, mode="min", factor=0.5, patience=3)
+
+    for m in metrics:
+        opt_state = plateau.step(opt_state, m)
+        tsched.step(m)
+        assert plateau.lr == pytest.approx(opt.param_groups[0]["lr"]), m
+    # and the reduced lr is really inside the optax state
+    import jax
+    leaves = [float(np.asarray(x)) for x in
+              jax.tree_util.tree_leaves(opt_state)
+              if np.ndim(x) == 0 and np.issubdtype(
+                  np.asarray(x).dtype, np.floating)]
+    assert any(abs(v - plateau.lr) < 1e-6 * plateau.lr + 1e-12
+               for v in leaves)
 
 
 def test_async_checkpointer_roundtrip(tmp_path):
@@ -217,3 +255,65 @@ def test_async_checkpointer_roundtrip(tmp_path):
                                np.asarray(params2["dense"]["kernel"]))
     assert jax.tree.structure(got_opt) == jax.tree.structure(opt_state)
     ckpt.close()
+
+
+def test_ema_resume_continues_trajectory(tmp_path):
+    """With EMA on, the best checkpoint stores the EMA average under
+    "params" AND the raw trajectory under "train_params"; a resumed run
+    restores both, so the validation curve continues instead of jumping
+    (VERDICT r2 weak #7)."""
+    from galerkin_transformer_tpu.data import BurgersDataset, DataLoader
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.train.checkpoint import load_checkpoint
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+    from galerkin_transformer_tpu.train.steps import make_burgers_steps
+    from galerkin_transformer_tpu.train.trainer import run_train
+    from galerkin_transformer_tpu.utils import load_config
+
+    tr = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
+                        train_portion=0.75, n_samples_synthetic=32)
+    va = BurgersDataset(subsample=8, n_grid_fine=512, train_data=False,
+                        valid_portion=0.25, n_samples_synthetic=32)
+    tl = DataLoader(tr, 8, shuffle=True, drop_last=True)
+    vl = DataLoader(va, 8)
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    model = SimpleTransformer.from_config(cfg)
+    b = next(iter(tl))
+    params = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
+                        jnp.asarray(b["pos"]), jnp.asarray(b["grid"]))["params"]
+    h = 8 / 512
+    tx, sched = adam_onecycle(1e-3, total_steps=len(tl) * 8, grad_clip=0.999)
+    train_step, eval_step = make_burgers_steps(
+        model, WeightedL2Loss(regularizer=True, h=h, gamma=0.1),
+        WeightedL2Loss(regularizer=False, h=h), tx, donate=False)
+
+    _, raw_after4, _, res_a = run_train(
+        train_step, eval_step, params, tx.init(params), tl, vl,
+        jax.random.key(0), epochs=4, lr_schedule=sched,
+        model_save_path=str(tmp_path), verbose=False, ema_decay=0.9,
+        patience=None)
+
+    # the checkpoint carries BOTH trees and they differ (EMA lags raw)
+    ckpt = os.path.join(str(tmp_path), "model.ckpt")
+    eval_tree, _, train_tree = load_checkpoint(
+        ckpt, params, tx.init(params), with_train_params=True)
+    assert train_tree is not None
+    diff = sum(float(jnp.abs(jnp.asarray(a) - jnp.asarray(c)).sum())
+               for a, c in zip(jax.tree_util.tree_leaves(eval_tree),
+                               jax.tree_util.tree_leaves(train_tree)))
+    assert diff > 0.0
+
+    # resume: val trajectory continues from where run A left off
+    _, _, _, res_b = run_train(
+        train_step, eval_step, params, tx.init(params), tl, vl,
+        jax.random.key(0), epochs=8, start_epoch=4, resume=True,
+        lr_schedule=sched, model_save_path=str(tmp_path), verbose=False,
+        ema_decay=0.9, patience=None)
+    # no jump: the first resumed epoch's val is within a small factor of
+    # run A's last val (a raw-params-into-EMA restart would reset the
+    # average and spike the metric)
+    assert res_b.loss_val[0] < max(2.0 * res_a.loss_val[-1],
+                                   res_a.loss_val[0] * 0.5)
+    assert res_b.loss_val[-1] <= res_a.loss_val[-1] * 1.2
