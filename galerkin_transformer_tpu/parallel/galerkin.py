@@ -44,10 +44,28 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
 
     Returns (out, p_attn): out (B, H, n, d[+p]) sharded like the inputs,
     p_attn (B, H, d_eff, d_eff) replicated over `seq_axis`.
+
+    Token counts that don't divide the shard count (e.g. ex2's 71² = 5041
+    coarse-grid tokens) are zero-padded to the next multiple; padded K
+    rows are masked to zero AFTER the per-head LN + pos concat (LN of a
+    zero row is the bias, which would otherwise pollute the d×d scores),
+    so the psum'd score matrix is exact, and the padded output rows are
+    sliced off.
     """
     n_shards = mesh.shape[seq_axis]
     n_global = key.shape[-2]
-    assert n_global % n_shards == 0
+    pad = (-n_global) % n_shards
+    token_mask = None
+    if pad:
+        def pad_seq(x, axis):
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, pad)
+            return jnp.pad(x, widths)
+        query, key, value = (pad_seq(x, 2) for x in (query, key, value))
+        if pos is not None:
+            pos = pad_seq(pos, 1)
+        token_mask = (jnp.arange(n_global + pad) < n_global).astype(
+            key.dtype)
 
     bspec = batch_axis if batch_axis in mesh.axis_names else None
     qkv_spec = P(bspec, None, seq_axis, None)
@@ -65,9 +83,13 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
     if score_mask is not None:
         in_specs.append(score_spec)
         args.append(score_mask)
+    if token_mask is not None:
+        in_specs.append(P(seq_axis))
+        args.append(token_mask)
 
     def inner(q, k, v, *rest):
         rest = list(rest)
+        tm = rest.pop() if token_mask is not None else None
         if scale_k is not None:
             sk, bk, sv, bv = rest[:4]
             rest = rest[4:]
@@ -82,6 +104,10 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
             q = jnp.concatenate([ph, q], axis=-1)
             k = jnp.concatenate([ph, k], axis=-1)
             v = jnp.concatenate([ph, v], axis=-1)
+        if tm is not None:
+            # zero padded K rows (post-LN/pos): kills their score
+            # contribution; kᵀv needs only one side masked
+            k = k * tm[None, None, :, None]
         # local d×d partial reduction, then one psum over the seq axis
         partial_scores = jnp.matmul(jnp.swapaxes(k, -2, -1), v,
                                     preferred_element_type=jnp.float32)
@@ -93,6 +119,9 @@ def seq_sharded_galerkin_attention(query: jax.Array, key: jax.Array,
                          preferred_element_type=jnp.float32).astype(q.dtype)
         return out, scores
 
-    return jax.shard_map(inner, mesh=mesh,
-                         in_specs=tuple(in_specs),
-                         out_specs=(qkv_spec, score_spec))(*args)
+    out, scores = jax.shard_map(inner, mesh=mesh,
+                                in_specs=tuple(in_specs),
+                                out_specs=(qkv_spec, score_spec))(*args)
+    if pad:
+        out = out[:, :, :n_global, :]
+    return out, scores
