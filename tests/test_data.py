@@ -237,3 +237,76 @@ def test_dataloader_multihost_sharding_disjoint_exhaustive():
         for b in dl:
             seen2.update(b["x"].ravel().tolist())
     assert len(seen2) == len(seen)
+
+
+def test_burgers_mat_ingestion(tmp_path):
+    """Fabricated .mat with the reference's keys (a/u — ft.py:96-101)
+    exercises the real-file parse/split/subsample branch without
+    redistributable data (VERDICT r2 next #7)."""
+    from scipy.io import savemat
+    from galerkin_transformer_tpu.data import BurgersDataset
+
+    N, n = 12, 64
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((N, n))
+    u = rng.standard_normal((N, n))
+    path = str(tmp_path / "burgers_fab.mat")
+    savemat(path, {"a": a, "u": u})
+
+    tr = BurgersDataset(data_path=path, subsample=2, n_grid_fine=n,
+                        train_data=True, train_portion=8, valid_portion=4)
+    assert len(tr) == 8
+    assert tr.n_grid == n // 2
+    s0 = tr[0]
+    np.testing.assert_allclose(s0["node"][:, 0], a[0, ::2], rtol=1e-6)
+    np.testing.assert_allclose(s0["target"][:, 0], u[0, ::2], rtol=1e-6)
+    # target[...,1] = periodic central diff on the FINE grid, subsampled
+    h = 1.0 / n
+    pad0, pad1 = u[0, -2], u[0, 1]
+    up = np.r_[pad0, u[0], pad1]
+    diff = (up[2:] - up[:-2]) / (2 * h)
+    np.testing.assert_allclose(s0["target"][:, 1], diff[::2], rtol=1e-5)
+
+    va = BurgersDataset(data_path=path, subsample=2, n_grid_fine=n,
+                        train_data=False, train_portion=8, valid_portion=4)
+    assert len(va) == 4  # last valid_len samples, disjoint from train
+    np.testing.assert_allclose(va[0]["node"][:, 0], a[N - 4, ::2],
+                               rtol=1e-6)
+
+
+def test_darcy_mat_ingestion(tmp_path):
+    """Fabricated .mat with the reference's keys (coeff/sol —
+    ft.py:499-507): split, nearest subsample, and the train-fitted
+    UnitGaussianNormalizer round-trip all behave like the synthetic
+    path."""
+    from scipy.io import savemat
+    from galerkin_transformer_tpu.data import DarcyDataset
+
+    N, n = 8, 61
+    rng = np.random.default_rng(1)
+    coeff = 3.0 + (rng.standard_normal((N, n, n)) > 0).astype(np.float64) * 9.0
+    sol = rng.standard_normal((N, n, n)) * 1e-2
+    path = str(tmp_path / "darcy_fab.mat")
+    savemat(path, {"coeff": coeff, "sol": sol})
+
+    tr = DarcyDataset(data_path=path, n_grid_fine=n, subsample_nodes=2,
+                      subsample_attn=6, train_data=True, train_len=6)
+    assert len(tr) == 6
+    s0 = tr[0]
+    n_sub = (n - 1) // 2 + 1
+    assert s0["node"].shape == (n_sub, n_sub, 1)
+    assert s0["target"].shape == (n_sub, n_sub, 1)
+    # normalizer round-trip recovers the raw subsampled coefficients
+    denorm = tr.normalizer_x.inverse_transform(
+        tr.node_features[:1])[0, ..., 0]
+    np.testing.assert_allclose(denorm, coeff[0, ::2, ::2], rtol=1e-5)
+    np.testing.assert_allclose(s0["target"][..., 0], sol[0, ::2, ::2],
+                               rtol=1e-5)
+
+    va = DarcyDataset(data_path=path, n_grid_fine=n, subsample_nodes=2,
+                      subsample_attn=6, train_data=False, valid_len=2,
+                      normalizer_x=tr.normalizer_x)
+    assert len(va) == 2  # last valid_len samples
+    denorm_v = va.normalizer_x.inverse_transform(
+        va.node_features[-1:])[0, ..., 0]
+    np.testing.assert_allclose(denorm_v, coeff[-1, ::2, ::2], rtol=1e-5)
