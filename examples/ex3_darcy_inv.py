@@ -39,9 +39,13 @@ def main(argv=None):
               subsample_method_inverse="average",
               n_grid_fine=args.n_grid_fine,
               noise=args.noise)
+    # --online-noise: train inputs stay clean in the dataset; fresh noise
+    # is drawn per step inside the train step (valid keeps baked noise)
+    train_kw = dict(kw, noise=0.0) if args.online_noise else kw
     train_dataset = DarcyDataset(data_path=args.train_path, train_data=True,
                                  train_len=1024,
-                                 n_samples_synthetic=args.n_samples, **kw)
+                                 n_samples_synthetic=args.n_samples,
+                                 **train_kw)
     valid_dataset = DarcyDataset(data_path=args.valid_path,
                                  normalizer_x=train_dataset.normalizer_x,
                                  train_data=False, valid_len=100,
@@ -97,8 +101,9 @@ def main(argv=None):
 
     loss_fn = WeightedL2Loss2d(regularizer=False, h=h)
     metric_fn = WeightedL2Loss2d(regularizer=False, h=h)
-    train_step, eval_step = make_darcy_steps(model, loss_fn, metric_fn, tx,
-                                             normalizer=normalizer)
+    train_step, eval_step = make_darcy_steps(
+        model, loss_fn, metric_fn, tx, normalizer=normalizer,
+        online_noise=args.noise if args.online_noise else 0.0)
 
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,

@@ -380,6 +380,33 @@ def _darcy_mg(coeff, n_grid: int, max_cycles: int = 24,
     return jax.vmap(single)(coeff.astype(jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _fd_residual_device(coeff, sol):
+    """Relative FD residual per sample, f32 on device.  Cancellation-
+    limited at ~1e-2 at 421² — far below the 0.05 garbage gate, so it
+    separates converged from unconverged without any host fetch; the f64
+    host evaluation remains for the bad set and quality reporting."""
+    a = coeff.astype(jnp.float32)
+    u = sol.astype(jnp.float32)
+    n = a.shape[-1]
+    inv_h2 = (n - 1.0) ** 2
+
+    def face(a1, a2):
+        return 2.0 * a1 * a2 / (a1 + a2)
+
+    aw = face(a[:, 1:-1, 1:-1], a[:, 1:-1, :-2])
+    ae = face(a[:, 1:-1, 1:-1], a[:, 1:-1, 2:])
+    an = face(a[:, 1:-1, 1:-1], a[:, :-2, 1:-1])
+    as_ = face(a[:, 1:-1, 1:-1], a[:, 2:, 1:-1])
+    au = ((aw + ae + an + as_) * u[:, 1:-1, 1:-1]
+          - aw * u[:, 1:-1, :-2] - ae * u[:, 1:-1, 2:]
+          - an * u[:, :-2, 1:-1] - as_ * u[:, 2:, 1:-1]) * inv_h2
+    r = 1.0 - au
+    m = r.shape[1] * r.shape[2]
+    return (jnp.linalg.norm(r.reshape(len(a), -1), axis=1)
+            / jnp.sqrt(jnp.float32(m)))
+
+
 def _fd_residual_host(coeff: np.ndarray, sol: np.ndarray) -> np.ndarray:
     """Relative FD residual ‖b − Au‖/‖b‖ per sample, evaluated in f64 on
     host — the data-quality gate for generated Darcy solutions."""
@@ -421,15 +448,23 @@ def darcy_mg_jax(n_samples: int = 64, n_grid: int = 421,
     # tau=3, alpha=2: the reference piececonst covariance
     # (-grad^2 + 9I)^(-2) — tau enters squared
     g = grf_2d_jax(key, n_samples, n_grid, tau=3.0, alpha=2.0)
-    coeff = jnp.where(g >= 0, hi, lo)
-    sols = []
-    for i in range(0, n_samples, batch):
-        sols.append(_darcy_mg(coeff[i:i + batch], n_grid,
-                              max_cycles=max_cycles))
-    sol = np.asarray(jnp.concatenate(sols, axis=0), dtype=np.float64)
-    coeff = np.asarray(coeff, dtype=np.float64)
+    coeff_dev = jnp.where(g >= 0, hi, lo)
 
-    res = _fd_residual_host(coeff, sol)
+    # all batches dispatch asynchronously (solve + on-device f32 residual
+    # gate); the only host traffic is one f32 fetch of the results and a
+    # tiny residual vector — round 2's f64 fetch (2×1.45 GB) plus a
+    # full-set host-f64 stencil made a 46 s device job take ~1100 s wall
+    # on a busy single-core host (VERDICT r2 next #3)
+    sols, resids = [], []
+    for i in range(0, n_samples, batch):
+        s = _darcy_mg(coeff_dev[i:i + batch], n_grid,
+                      max_cycles=max_cycles)
+        sols.append(s)
+        resids.append(_fd_residual_device(coeff_dev[i:i + batch], s))
+    res = np.asarray(jnp.concatenate(resids))
+    sol = np.asarray(jnp.concatenate(sols, axis=0))  # f32, one fetch
+    coeff = np.asarray(coeff_dev)
+
     bad = np.flatnonzero(res > residual_gate)
     if bad.size:
         print(f"darcy_mg_jax: {bad.size}/{n_samples} solutions above the "
@@ -439,10 +474,18 @@ def darcy_mg_jax(n_samples: int = 64, n_grid: int = 421,
             idx = bad[i:i + 16]
             sol[idx] = np.asarray(
                 _darcy_cg(jnp.asarray(coeff[idx], jnp.float32), n_grid,
-                          max_iters=12000), dtype=np.float64)
+                          max_iters=12000), dtype=np.float32)
+        # f64 host check on the (small) re-solved set only
         res_bad = _fd_residual_host(coeff[bad], sol[bad])
         if (res_bad > residual_gate).any():
             raise RuntimeError(
                 f"Darcy generation failed the residual gate even after CG "
                 f"fallback (worst {res_bad.max():.2e} > {residual_gate})")
+    # f64 spot-check on a small sample for the quality report (the full-set
+    # f64 stencil on host was the single-core bottleneck)
+    n_check = min(16, n_samples)
+    res64 = _fd_residual_host(coeff[:n_check], sol[:n_check])
+    print(f"darcy_mg_jax: f32 residual gate max {res.max():.2e} over "
+          f"{n_samples}; f64 spot-check (n={n_check}) max "
+          f"{res64.max():.2e}")
     return coeff, sol

@@ -72,17 +72,30 @@ def make_burgers_steps(model, loss_fn, metric_fn, tx,
 
 def make_darcy_steps(model, loss_fn, metric_fn, tx,
                      normalizer: Optional[Tuple] = None,
-                     donate: bool = True, needs_value: bool = False):
-    def forward(params, batch, rng=None):
+                     donate: bool = True, needs_value: bool = False,
+                     online_noise: float = 0.0):
+    """``online_noise`` > 0 draws FRESH Gaussian measurement noise on the
+    (normalized) train inputs every step — the reference bakes one fixed
+    noise realization into the dataset (ft.py:567-568); resampling per
+    epoch is equivalent-in-distribution data augmentation the static
+    dataset can't express.  Validation inputs are untouched (the driver
+    keeps the reference's fixed-noise valid set)."""
+    def forward(params, batch, rng=None, node=None):
         kwargs = _apply_kwargs(rng) if rng is not None else dict(
             deterministic=True)
-        out = model.apply({"params": params}, batch["node"], batch["edge"],
-                          batch["pos"], batch["grid"],
+        out = model.apply({"params": params},
+                          batch["node"] if node is None else node,
+                          batch["edge"], batch["pos"], batch["grid"],
                           normalizer=normalizer, **kwargs)
         return out
 
     def forward_loss(params, batch, rng):
-        out = forward(params, batch, rng)
+        node = None
+        if online_noise > 0:
+            rng, nkey = jax.random.split(rng)
+            node = batch["node"] + online_noise * jax.random.normal(
+                nkey, batch["node"].shape, batch["node"].dtype)
+        out = forward(params, batch, rng, node=node)
         preds = out["preds"]  # (B, n, n, n_targets)
         u = batch["target"][..., 0]
         gradu = batch["target_grad"]

@@ -72,6 +72,12 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
     p.add_argument("--dropout", type=float, default=dropout)
     p.add_argument("--decoder-dropout", type=float, default=decoder_dropout)
     p.add_argument("--layer-norm", action="store_true", default=False)
+    p.add_argument("--online-noise", action="store_true", default=False,
+                   help="resample the train-input measurement noise fresh "
+                        "every step inside the jitted train step (the "
+                        "reference bakes ONE fixed realization into the "
+                        "dataset, ft.py:567-568); validation keeps the "
+                        "fixed-noise protocol")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--gamma", type=float, default=gamma)

@@ -317,3 +317,46 @@ def test_ema_resume_continues_trajectory(tmp_path):
     assert res_b.loss_val[0] < max(2.0 * res_a.loss_val[-1],
                                    res_a.loss_val[0] * 0.5)
     assert res_b.loss_val[-1] <= res_a.loss_val[-1] * 1.2
+
+
+def test_darcy_online_noise_resamples_per_step():
+    """online_noise draws fresh measurement noise inside the train step:
+    different rng keys give different losses on the same batch; eval is
+    untouched (deterministic, no noise)."""
+    from galerkin_transformer_tpu.data import DarcyDataset, DataLoader
+    from galerkin_transformer_tpu.models import FourierTransformer2D
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss2d
+    from galerkin_transformer_tpu.train.steps import make_darcy_steps
+    from galerkin_transformer_tpu.utils import load_config
+
+    ds = DarcyDataset(n_grid_fine=61, subsample_nodes=2, subsample_attn=6,
+                      n_samples_synthetic=4, train_data=True, train_len=4)
+    dl = DataLoader(ds, 2, drop_last=True)
+    n_f, n_c = 31, 11
+    down, up = DarcyDataset.get_scaler_sizes(n_f, n_c, scale_factor=False)
+    cfg = load_config("ex2_darcy")
+    cfg.update(n_hidden=16, num_encoder_layers=1, n_head=2,
+               dim_feedforward=32, freq_dim=8, fourier_modes=4,
+               encoder_dropout=0.0, ffn_dropout=0.0, dropout=0.0,
+               decoder_dropout=0.0, downscaler_dropout=0.0,
+               upscaler_dropout=0.0)
+    model = FourierTransformer2D.from_config(cfg, downscaler_size=down,
+                                             upscaler_size=up)
+    b = next(iter(dl))
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+    params = model.init(jax.random.key(0), b["node"], b["edge"],
+                        b["pos"], b["grid"])["params"]
+    tx, _ = adam_onecycle(1e-3, 10, grad_clip=0.99)
+    h = 1 / n_c
+    train_step, eval_step = make_darcy_steps(
+        model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.5),
+        WeightedL2Loss2d(regularizer=False, h=h), tx, donate=False,
+        online_noise=0.05)
+    losses = []
+    for seed in (0, 1):
+        _, _, _, (loss, _) = train_step(params, tx.init(params), b,
+                                        jax.random.key(seed))
+        losses.append(float(loss))
+    assert losses[0] != losses[1]  # fresh noise realization per rng
+    m1, m2 = (float(eval_step(params, b)) for _ in range(2))
+    assert m1 == m2  # eval untouched
