@@ -21,7 +21,14 @@ def save_checkpoint(path: str, params: Any, opt_state: Optional[Any] = None,
     """`params` is the deployable tree (the EMA average when EMA is on);
     `train_params` optionally carries the raw training trajectory so a
     resumed run continues the raw params, not the average."""
+    import jax
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # one batched device->host transfer up front: to_bytes on device trees
+    # fetches leaf-by-leaf, which on a remote-execution backend costs a
+    # round-trip per leaf
+    params, opt_state, train_params = jax.device_get(
+        (params, opt_state, train_params))
     payload = {"params": serialization.to_bytes(params)}
     if opt_state is not None:
         payload["opt_state"] = serialization.to_bytes(opt_state)

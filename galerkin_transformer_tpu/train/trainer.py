@@ -90,11 +90,14 @@ def run_train(train_step: Callable,
         patience = epochs
     best_val = -np.inf if mode == "max" else np.inf
     best_epoch = start_epoch
-    # true host copy: train_step donates param buffers, and np.asarray of a
-    # CPU jax array can alias the buffer zero-copy
-    _host_copy = lambda tree: jax.tree_util.tree_map(
-        lambda x: np.array(x, copy=True), tree)
-    best_params = _host_copy(params)
+    # DEVICE-side copy: train_step donates param buffers, so the snapshot
+    # must not alias them — but it must also stay on device: a host copy
+    # is one tunnel round-trip PER LEAF (~100 leaves × 10-100 ms swamped
+    # the 0.2 s device epoch in round 2)
+    import jax.numpy as jnp
+    _snapshot = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True), tree)
+    best_params = _snapshot(params)
     stop_counter = 0
     loss_train, loss_val, lr_history = [], [], []
     it = start_epoch * len(train_loader)
@@ -209,7 +212,7 @@ def run_train(train_step: Callable,
             val_metric > best_val if mode == "max" else val_metric < best_val)
         if improved:
             best_val, best_epoch, stop_counter = val_metric, epoch, 0
-            best_params = _host_copy(eval_params)
+            best_params = _snapshot(eval_params)
             raw = params if ema_params is not None else None
             if save_best and async_ckpt is not None:
                 async_ckpt.save(epoch, eval_params, opt_state,
