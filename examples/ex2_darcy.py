@@ -37,7 +37,7 @@ def main(argv=None):
                                  subsample_attn=args.subsample_attn,
                                  subsample_nodes=args.subsample_nodes,
                                  n_grid_fine=args.n_grid_fine,
-                                 train_data=True, train_len=1024,
+                                 train_data=True, train_len=args.train_len,
                                  n_samples_synthetic=args.n_samples)
     valid_dataset = DarcyDataset(data_path=args.valid_path,
                                  normalizer_x=train_dataset.normalizer_x,

@@ -43,7 +43,7 @@ def main(argv=None):
     # is drawn per step inside the train step (valid keeps baked noise)
     train_kw = dict(kw, noise=0.0) if args.online_noise else kw
     train_dataset = DarcyDataset(data_path=args.train_path, train_data=True,
-                                 train_len=1024,
+                                 train_len=args.train_len,
                                  n_samples_synthetic=args.n_samples,
                                  **train_kw)
     valid_dataset = DarcyDataset(data_path=args.valid_path,

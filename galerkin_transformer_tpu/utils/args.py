@@ -72,6 +72,10 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
     p.add_argument("--dropout", type=float, default=dropout)
     p.add_argument("--decoder-dropout", type=float, default=decoder_dropout)
     p.add_argument("--layer-norm", action="store_true", default=False)
+    p.add_argument("--n-hidden", type=int, default=None,
+                   help="override encoder width (config n_hidden)")
+    p.add_argument("--num-encoder-layers", type=int, default=None,
+                   help="override encoder depth")
     p.add_argument("--online-noise", action="store_true", default=False,
                    help="resample the train-input measurement noise fresh "
                         "every step inside the jitted train step (the "
@@ -89,6 +93,8 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
                    help="fine grid of the data (421 for the .mat files)")
     p.add_argument("--n-samples", type=int, default=128,
                    help="synthetic sample count when no .mat file is given")
+    p.add_argument("--train-len", type=int, default=1024,
+                   help="training samples used (reference: 1024)")
     p.add_argument("--fast-matmul", action="store_true", default=False)
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 encoder activations (params/decoder stay f32)")

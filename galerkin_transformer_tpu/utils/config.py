@@ -58,7 +58,8 @@ def merge_config(base: Mapping[str, Any], *overlays: Any) -> DotDict:
             continue
         if isinstance(ov, argparse.Namespace):
             for k in vars(ov):
-                if k in out:
+                # None = flag not provided; never clobber a config value
+                if k in out and getattr(ov, k) is not None:
                     out[k] = getattr(ov, k)
         else:
             out.update(ov)
