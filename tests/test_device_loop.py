@@ -124,13 +124,15 @@ def test_device_epoch_uses_loader_seed():
 
     _, tx, params, train_step, eval_step, tl, vl = _tiny_setup()
     tr = tl.dataset
-    opt_state = tx.init(params)
     orders = []
     for seed in (1, 2):
         loader = DataLoader(tr, 8, shuffle=True, drop_last=True, seed=seed)
         runner = DeviceEpochRunner(train_step, eval_step, loader, vl,
                                    verbose=False)
-        *_, losses, _ = runner.epoch(params, opt_state,
-                                     jax.random.key(0), None, 0)
+        # fresh trees per run: the epoch program donates its inputs
+        p = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                   params)
+        *_, losses, _ = runner.epoch(p, tx.init(p), jax.random.key(0),
+                                     None, 0)
         orders.append(np.asarray(losses))
     assert not np.allclose(orders[0], orders[1])
