@@ -64,10 +64,72 @@ def parse(trace_dir, top=20, iters=None):
             lines={n: round(t * 1e3, 3) for n, t, _ in lines},
             device_busy_ms=round(total * 1e3, 3),
             per_iter_ms=(round(total * 1e3 / iters, 4) if iters else None),
-            top_ops=[dict(op=name[:120], ms=round(t * 1e3, 3), count=c,
+            top_ops=[dict(op=name, ms=round(t * 1e3, 3), count=c,
                           pct=round(100 * t / total, 2))
                      for name, (t, c) in rows]))
     return out
+
+
+_DTYPE_BYTES = dict(f64=8, f32=4, f16=2, bf16=2, s32=4, u32=4, s8=1, u8=1,
+                    pred=1, c64=8, c128=16, s64=8, u64=8, s16=2, u16=2)
+_SHAPE_RE = None
+
+
+def op_bytes(op_text):
+    """(hbm_bytes, vmem_bytes) summed over every shape literal in an HLO
+    op string — result plus all operands that appear in the text.
+
+    The layout annotation carries the memory space: `{...S(1)}` = VMEM
+    (space 1), no S(...) = HBM (space 0).  Splitting on it turns the op
+    text into a defensible per-op HBM-traffic estimate — XLA keeps much
+    of the working set VMEM-resident, which is exactly what the r2
+    'bytes accessed = 274% of HBM peak' cost-analysis proxy could not
+    distinguish."""
+    global _SHAPE_RE
+    import re
+    if _SHAPE_RE is None:
+        _SHAPE_RE = re.compile(
+            r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([0-9,]*)\]"
+            r"(\{[^}]*\})?")
+    hbm = vmem = 0
+    for dt, dims, layout in _SHAPE_RE.findall(op_text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        b = n * _DTYPE_BYTES[dt]
+        if "S(" in layout and "S(0)" not in layout:
+            vmem += b
+        else:
+            hbm += b
+    return hbm, vmem
+
+
+def roofline_table(plane_dict, iters, hbm_gb_s=819.0, top=12):
+    """Per-op: measured time vs bytes/BW floor — memory-bound ops sit
+    near 100%."""
+    rows = []
+    tot_hbm = tot_time = 0.0
+    for op in plane_dict["top_ops"]:
+        if op["count"] < iters:  # skip the while wrapper / one-offs
+            continue
+        hbm, vmem = op_bytes(op["op"])
+        per_iter_us = op["ms"] * 1e3 / op["count"]
+        floor_us = hbm / (hbm_gb_s * 1e9) * 1e6
+        tot_hbm += hbm
+        tot_time += per_iter_us
+        rows.append(dict(op=op["op"][:80], us=round(per_iter_us, 2),
+                         hbm_kb=round(hbm / 1024, 1),
+                         vmem_kb=round(vmem / 1024, 1),
+                         floor_us=round(floor_us, 2),
+                         bw_util_pct=(round(100 * floor_us / per_iter_us, 1)
+                                      if per_iter_us else None)))
+    summary = dict(listed_ops_us=round(tot_time, 2),
+                   listed_hbm_mb=round(tot_hbm / 2**20, 2),
+                   listed_effective_gb_s=round(
+                       tot_hbm / (tot_time * 1e-6) / 1e9, 1)
+                   if tot_time else None)
+    return rows[:top], summary
 
 
 def classify(op_name):
@@ -89,6 +151,9 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--roofline", action="store_true",
+                    help="per-op bytes/BW floor vs measured time")
+    ap.add_argument("--hbm-gb-s", type=float, default=819.0)
     args = ap.parse_args()
     report = {}
     for d in args.trace_dirs:
@@ -108,6 +173,21 @@ def main():
             for op in p["top_ops"]:
                 print(f"   {op['pct']:6.2f}% {op['count']:>6}x "
                       f"{op['ms']:8.2f}ms  {op['op'][:100]}")
+            if args.roofline:
+                rows, summ = roofline_table(p, args.iters, args.hbm_gb_s)
+                p["roofline"] = rows
+                p["roofline_summary"] = summ
+                print(f"   -- per-op HBM roofline "
+                      f"(floor = HBM-space bytes/{args.hbm_gb_s:.0f} GB/s):")
+                for r in rows:
+                    print(f"   {r['us']:8.2f}us vs floor "
+                          f"{r['floor_us']:6.2f}us "
+                          f"({r['bw_util_pct']}% of HBM BW) "
+                          f"hbm {r['hbm_kb']:9.1f}KB vmem "
+                          f"{r['vmem_kb']:9.1f}KB  {r['op'][:55]}")
+                print(f"   -- listed ops: {summ['listed_ops_us']}us, "
+                      f"{summ['listed_hbm_mb']} MB HBM -> "
+                      f"{summ['listed_effective_gb_s']} GB/s effective")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1)
