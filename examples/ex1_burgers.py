@@ -31,7 +31,8 @@ from galerkin_transformer_tpu.utils.config import MODEL_PATH
 def main(argv=None):
     args = get_args_1d(argv)
     from galerkin_transformer_tpu.utils.jax_setup import setup
-    setup(precision=None if args.fast_matmul else "highest")
+    setup(precision=args.precision
+          or (None if args.fast_matmul else "highest"))
     key = get_seed(args.seed)
 
     train_dataset = BurgersDataset(subsample=args.subsample,

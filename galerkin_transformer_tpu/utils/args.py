@@ -34,6 +34,11 @@ def get_args_1d(argv=None):
                    help="synthetic sample count when no .mat file is given")
     p.add_argument("--fast-matmul", action="store_true", default=False,
                    help="default TPU matmul precision (bf16 passes) instead of highest")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=("default", "high", "highest"),
+                   help="matmul precision override: default=1 bf16 pass, "
+                        "high=3 passes (~tf32), highest=6 passes (f32); "
+                        "wins over --fast-matmul when set")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 encoder activations (params/decoder stay f32)")
     p.add_argument("--ema-decay", type=float, default=None,
