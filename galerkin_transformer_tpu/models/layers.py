@@ -48,6 +48,26 @@ def get_activation(name: Optional[str], fallback: str = "relu") -> Callable:
     return ACTIVATIONS[default(name, fallback)]
 
 
+def pallas_galerkin_auto(deterministic: bool, bsz: int, n_head: int,
+                         seq_len: int, d_k: int,
+                         itemsize: int = 4) -> bool:
+    """Measured-regime dispatch for the fused Pallas galerkin kernel.
+
+    eval/pallas_regime.json (v5e, chained-execution harness): the fused
+    kernel beats blocked XLA only FORWARD-ONLY at d_k >= 128 with a
+    q/k/v working set of ~192 MB+ (0.70-0.75x), loses at the production
+    d_k=96 at every length, and its custom-VJP backward loses at every
+    measured shape.  Training (deterministic=False ⇒ a backward pass is
+    coming) therefore never dispatches to it.
+    """
+    if not deterministic:
+        return False
+    if d_k < 128:
+        return False
+    working_set = 3 * bsz * n_head * seq_len * d_k * itemsize
+    return working_set >= 192 * 2 ** 20
+
+
 class Identity(nn.Module):
     """No-op / linear lift accepting dummy edge & grid args (layers.py:21-40)."""
     in_features: Optional[int] = None
@@ -206,16 +226,23 @@ class SimpleAttention(nn.Module):
                                **torch_linear_init(out.shape[-1]))(out)
             return out, p_attn
 
-        # fused Pallas path (opt-in via use_pallas=True): galerkin +
-        # per-head LayerNorm on K,V, no mask.  NOT the default: honest
-        # chained-execution timing shows plain XLA runs this op at HBM
-        # roofline and keeps the working set VMEM-resident, while the
-        # pallas_call ABI forces HBM round-trips (2.4x slower fwd+bwd at
-        # n=8192, d=96 — docs/PERFORMANCE.md).  The kernel is kept as the
-        # reference fused implementation and for shapes exceeding VMEM.
+        # fused Pallas path: galerkin + per-head LayerNorm on K,V, no mask.
+        # NOT the training default: honest chained-execution timing shows
+        # plain XLA runs this op at HBM roofline and keeps the working set
+        # VMEM-resident, while the pallas_call ABI forces HBM round-trips
+        # (2.4x slower fwd+bwd at n=8192, d=96 — docs/PERFORMANCE.md).
+        # The measured regime where the fused kernel WINS (eval/
+        # pallas_regime.json): forward-only at d_k >= 128 with a beyond-
+        # VMEM working set (0.70-0.75x of blocked XLA at 192-384 MB);
+        # its custom-VJP backward loses at every measured shape.  So
+        # use_pallas=None auto-dispatches the kernel exactly there:
+        # inference (deterministic — no backward will run) at wide heads
+        # and large working sets.  use_pallas=True/False force it.
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = False
+            use_pallas = pallas_galerkin_auto(
+                deterministic, bsz, h, query.shape[1], d_k,
+                itemsize=q.dtype.itemsize)
         if use_pallas and atype == "galerkin" and self.norm \
                 and self.norm_type == "layer":
             from ..ops.pallas.galerkin import galerkin_attention_fused

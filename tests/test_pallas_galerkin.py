@@ -95,3 +95,23 @@ def test_simple_attention_pallas_path_matches_default():
     got, _ = fused_attn.apply({"params": params}, x, x, x, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_auto_dispatch_predicate_measured_regime():
+    """use_pallas=None dispatches to the fused kernel exactly in the
+    regime eval/pallas_regime.json measured it winning: forward-only,
+    d_k >= 128, q/k/v working set >= 192 MB."""
+    from galerkin_transformer_tpu.models.layers import pallas_galerkin_auto
+
+    # measured wins (fwd-only rows at 0.70-0.75x of blocked XLA)
+    assert pallas_galerkin_auto(True, 8, 1, 8192, 256)       # 192 MB
+    assert pallas_galerkin_auto(True, 4, 1, 32768, 256)      # 384 MB
+    assert pallas_galerkin_auto(True, 4, 1, 65536, 128)      # 384 MB
+    # measured losses: production d_k=96 at any length
+    assert not pallas_galerkin_auto(True, 8, 1, 8192, 96)
+    assert not pallas_galerkin_auto(True, 8, 1, 32768, 96)
+    assert not pallas_galerkin_auto(True, 2, 1, 131072, 96)
+    # training (backward coming): custom-VJP loses everywhere measured
+    assert not pallas_galerkin_auto(False, 4, 1, 32768, 256)
+    # small working set: XLA keeps it VMEM-resident
+    assert not pallas_galerkin_auto(True, 1, 1, 2048, 128)
