@@ -113,6 +113,7 @@ def main(argv=None):
         model_save_path=MODEL_PATH, model_name=model_name,
         result_name=result_name, ema_decay=args.ema_decay,
         device_loop=args.device_data,
+        epochs_per_dispatch=args.epochs_per_dispatch,
         resume=args.resume_epoch is not None,
         start_epoch=args.resume_epoch or 0)
 

@@ -57,6 +57,8 @@ class DeviceEpochRunner:
                  train_loader, valid_loader,
                  ema_decay: Optional[float] = None,
                  shuffle_seed: Optional[int] = None,
+                 epochs_per_dispatch: int = 1,
+                 mode: str = "min",
                  verbose: bool = True):
         if getattr(train_loader, "num_shards", 1) != 1:
             raise ValueError(
@@ -74,10 +76,13 @@ class DeviceEpochRunner:
         self.n_batches = self.n_train // self.batch_size
         if verbose:
             gb = (_nbytes(train_np) + _nbytes(valid_np)) / 2 ** 30
+            k = max(1, int(epochs_per_dispatch))
+            per = "1 dispatch/epoch" if k == 1 else \
+                f"1 dispatch per {k} epochs"
             print(f"device-resident data: {self.n_train} train / "
                   f"{len(valid_loader.dataset)} valid samples "
                   f"({gb:.2f} GiB in HBM), {self.n_batches} steps/epoch, "
-                  f"1 dispatch/epoch")
+                  f"{per}")
         rem = self.n_train - self.n_batches * self.batch_size
         if rem and not getattr(train_loader, "drop_last", True):
             # the scanned epoch needs static batch shapes; silently training
@@ -107,7 +112,10 @@ class DeviceEpochRunner:
         if shuffle_seed is None:
             shuffle_seed = getattr(train_loader, "seed", 1127802)
         self._key = jax.random.key(shuffle_seed)
+        self.epochs_per_dispatch = max(1, int(epochs_per_dispatch))
+        self.mode = mode
         self._epoch_fn = jax.jit(self._build(), donate_argnums=(0, 1, 3))
+        self._block_fn, self._block_k = None, 0  # built lazily per length
 
     def _build(self):
         train_step, eval_step = self.train_step, self.eval_step
@@ -163,3 +171,60 @@ class DeviceEpochRunner:
         losses, val = jax.device_get((losses, val))
         return params, opt_state, rng, ema_params, np.asarray(losses), \
             float(val)
+
+    def _build_block(self, k: int):
+        """k epochs as ONE jitted program (one dispatch, one host fetch).
+
+        Best-val tracking runs ON DEVICE inside the scan so the exact
+        best-epoch parameter snapshot survives without a per-epoch host
+        round trip: the carry holds (best_val, best_params) and updates
+        them with the same min/max rule the trainer applies.
+        """
+        epoch_fn = self._build()
+        sign = 1.0 if self.mode == "min" else -1.0
+
+        def block(params, opt_state, rng, ema_params, best_val, best_params,
+                  keys, train_data):
+            def body(carry, key):
+                params, opt_state, rng, ema, b_val, b_par = carry
+                params, opt_state, rng, ema, losses, val = epoch_fn(
+                    params, opt_state, rng, ema, key, train_data)
+                eval_params = ema if self.ema_decay is not None else params
+                better = jnp.isfinite(val) & (sign * val < sign * b_val)
+                b_val = jnp.where(better, val, b_val)
+                b_par = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(better, p, b), b_par, eval_params)
+                return (params, opt_state, rng, ema, b_val, b_par), \
+                    (losses, val)
+
+            carry, (losses, vals) = jax.lax.scan(
+                body, (params, opt_state, rng, ema_params, best_val,
+                       best_params), keys)
+            params, opt_state, rng, ema_params, best_val, best_params = carry
+            return (params, opt_state, rng, ema_params, best_val,
+                    best_params, losses, vals)
+
+        # donate the training state AND the best tree (replaced each call)
+        return jax.jit(block, donate_argnums=(0, 1, 3, 5))
+
+    def run_block(self, params, opt_state, rng, ema_params,
+                  best_val: float, best_params, start_epoch: int, k: int):
+        """Run epochs [start_epoch, start_epoch+k) in one dispatch.
+
+        Returns (params, opt_state, rng, ema_params, best_val [float],
+        best_params [device tree], losses [np, (k, n_batches, n_losses)],
+        vals [np, (k,)]).  `best_params` must be a device tree that may
+        be donated (pass a snapshot, not the live params).
+        """
+        if self._block_fn is None or self._block_k != k:
+            self._block_fn = self._build_block(k)
+            self._block_k = k
+        keys = jnp.stack([jax.random.fold_in(self._key, e)
+                          for e in range(start_epoch, start_epoch + k)])
+        (params, opt_state, rng, ema_params, best_val, best_params,
+         losses, vals) = self._block_fn(
+            params, opt_state, rng, ema_params,
+            jnp.float32(best_val), best_params, keys, self.train_data)
+        best_val_h, losses, vals = jax.device_get((best_val, losses, vals))
+        return (params, opt_state, rng, ema_params, float(best_val_h),
+                best_params, np.asarray(losses), np.asarray(vals))

@@ -64,6 +64,7 @@ def run_train(train_step: Callable,
               async_checkpoint: bool = False,
               ema_decay: Optional[float] = None,
               device_loop: bool = False,
+              epochs_per_dispatch: int = 1,
               verbose: bool = True) -> tuple:
     """Returns (best_params, final_params, opt_state, TrainResult).
 
@@ -85,6 +86,16 @@ def run_train(train_step: Callable,
     jitted program (`train.device_loop.DeviceEpochRunner`) — on a
     remote-execution backend this removes ~n_batches×(10-100 ms) of
     per-batch upload latency per epoch.  Single-process only.
+
+    With ``epochs_per_dispatch=k > 1`` (device_loop only) k epochs run
+    as one program with ON-DEVICE best-val/best-param tracking, cutting
+    the remaining per-epoch dispatch + fetch round trip to one per k
+    epochs.  Exact best-epoch checkpoint semantics are preserved (the
+    best tree is selected inside the scan); the trade-offs are
+    block-granular checkpoint IO / early-stop reaction (up to k-1 extra
+    epochs of compute after the stop condition) and, with EMA, the
+    checkpointed raw trajectory being the block-final raw params.
+    Incompatible with the plateau scheduler (per-epoch host lr control).
     """
     if patience is None or patience == 0:
         patience = epochs
@@ -153,13 +164,108 @@ def run_train(train_step: Callable,
         runner = DeviceEpochRunner(
             train_step, eval_step, train_loader, valid_loader,
             ema_decay=ema_decay if ema_step is not None else None,
+            epochs_per_dispatch=epochs_per_dispatch, mode=mode,
             verbose=verbose)
+    block_k = runner.epochs_per_dispatch if runner is not None else 1
+    if block_k > 1 and plateau is not None:
+        raise ValueError(
+            "epochs_per_dispatch > 1 is incompatible with the plateau "
+            "scheduler (it adjusts the lr on host once per epoch)")
 
     # host-loop path: keep device arrays and fetch in chunks — fetching per
     # step serializes the epoch on host round-trips (10-100 ms each on a
     # remote-execution backend, >100x the 1 ms step); the chunk bound keeps
     # the dispatch queue (and the input buffers it pins) finite
     flush_every = 64
+
+    def _epoch_log(epoch, loss_mean, val_metric, dt):
+        if verbose:
+            loss_str = " | ".join(f"loss {i}: {v:.3e}"
+                                  for i, v in enumerate(loss_mean) if v > 0)
+            print(f"epoch [{epoch + 1}/{epochs}] {loss_str} "
+                  f"| val: {val_metric:.3e} "
+                  f"| best: {best_val:.3e} @ {best_epoch + 1} "
+                  f"| early stop: {stop_counter} | {dt:.1f}s", flush=True)
+        try:
+            import json
+            with open(result_path.rsplit(".", 1)[0] + ".jsonl", "a") as f:
+                f.write(json.dumps(dict(
+                    epoch=epoch, loss=[float(v) for v in loss_mean],
+                    val=val_metric, best=best_val,
+                    lr=(float(lr_schedule((epoch + 1) * len(train_loader)
+                                          - 1))
+                        if lr_schedule is not None else
+                        (plateau.lr if plateau is not None else None)),
+                    seconds=round(dt, 2))) + "\n")
+        except OSError:
+            pass
+
+    if block_k > 1:
+        # k epochs per dispatch: on-device best tracking, block-granular
+        # host bookkeeping.  `best_params` is donated each call and
+        # replaced by the returned (exact best-epoch) tree.
+        epoch = start_epoch
+        halted = False
+        while epoch < epochs and not halted:
+            k = min(block_k, epochs - epoch)
+            t0 = time.perf_counter()
+            (params, opt_state, rng, ema_params, _blk_best, best_params,
+             losses_blk, vals_blk) = runner.run_block(
+                params, opt_state, rng, ema_params, best_val, best_params,
+                epoch, k)
+            dt = (time.perf_counter() - t0) / k
+            improved_any = False
+            it0 = it
+            it += k * runner.n_batches  # all k epochs did train on device
+            for i in range(k):
+                loss_mean = losses_blk[i].mean(axis=0)
+                loss_train.append(loss_mean)
+                if not np.isfinite(loss_mean).all():
+                    print(f"divergence detected at epoch {epoch + i + 1} "
+                          f"(non-finite training loss); stopping — best "
+                          f"checkpoint from epoch {best_epoch + 1} is "
+                          f"preserved", flush=True)
+                    halted = True
+                    break
+                val_metric = float(vals_blk[i])
+                loss_val.append(val_metric)
+                improved = np.isfinite(val_metric) and (
+                    val_metric > best_val if mode == "max"
+                    else val_metric < best_val)
+                if improved:
+                    best_val, best_epoch = val_metric, epoch + i
+                    stop_counter = 0
+                    improved_any = True
+                else:
+                    stop_counter += 1
+                _epoch_log(epoch + i, loss_mean, val_metric, dt)
+                if stop_counter > patience:
+                    if verbose:
+                        print(f"Early stop at epoch {epoch + i + 1}")
+                    halted = True
+                    break
+            if lr_schedule is not None:
+                lr_history.extend(np.asarray(jax.vmap(lr_schedule)(
+                    np.arange(it0, it))).tolist())
+            if improved_any and save_best:
+                # best_params IS the best-epoch tree (device-selected);
+                # with EMA the raw trajectory is only available at block
+                # granularity — save the block-final raw params
+                raw = params if ema_params is not None else None
+                if async_ckpt is not None:
+                    async_ckpt.save(best_epoch, best_params, opt_state,
+                                    train_params=raw)
+                else:
+                    save_checkpoint(ckpt_path, best_params, opt_state,
+                                    train_params=raw)
+            result = TrainResult(best_val_epoch=best_epoch,
+                                 best_val_metric=best_val,
+                                 loss_train=np.asarray(loss_train),
+                                 loss_val=np.asarray(loss_val),
+                                 lr_history=np.asarray(lr_history))
+            save_pickle(result.asdict(), result_path)
+            epoch += k
+        epochs = start_epoch  # skip the per-epoch loop below
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()

@@ -52,6 +52,11 @@ def get_args_1d(argv=None):
                    help="keep the dataset in HBM and run each epoch as one "
                         "jitted program (train.device_loop); --no-device-data "
                         "uses the host DataLoader per batch")
+    p.add_argument("--epochs-per-dispatch", type=int, default=1,
+                   help="with --device-data: run k epochs as ONE jitted "
+                        "program with on-device best tracking (one host "
+                        "round trip per k epochs; checkpoint IO and early "
+                        "stop react at block granularity)")
     p.add_argument("--resume-epoch", type=int, default=None,
                    help="resume from the saved checkpoint (params + optimizer "
                         "state) and continue training at this epoch index")
@@ -114,6 +119,11 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
                    help="keep the dataset in HBM and run each epoch as one "
                         "jitted program (train.device_loop); --no-device-data "
                         "uses the host DataLoader per batch")
+    p.add_argument("--epochs-per-dispatch", type=int, default=1,
+                   help="with --device-data: run k epochs as ONE jitted "
+                        "program with on-device best tracking (one host "
+                        "round trip per k epochs; checkpoint IO and early "
+                        "stop react at block granularity)")
     p.add_argument("--resume-epoch", type=int, default=None,
                    help="resume from the saved checkpoint (params + optimizer "
                         "state) and continue training at this epoch index")

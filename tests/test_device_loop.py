@@ -136,3 +136,48 @@ def test_device_epoch_uses_loader_seed():
                                      None, 0)
         orders.append(np.asarray(losses))
     assert not np.allclose(orders[0], orders[1])
+
+
+def test_k_epochs_per_dispatch_matches_per_epoch(tmp_path):
+    """epochs_per_dispatch=3 must reproduce the per-epoch device loop
+    exactly: same val trajectory (same fold_in key stream), same best
+    metric/epoch, and the checkpointed best tree is the best-epoch one."""
+    from galerkin_transformer_tpu.train.trainer import run_train, validate_epoch
+
+    _, tx, params0, train_step, eval_step, tl, vl = _tiny_setup()
+    tl.shuffle = True
+
+    def go(k, sub):
+        p = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                   params0)
+        return run_train(
+            train_step, eval_step, p, tx.init(p), tl, vl,
+            jax.random.key(0), epochs=7, patience=None,
+            model_save_path=str(tmp_path / sub), model_name="m.ckpt",
+            result_name="r.pkl", device_loop=True,
+            epochs_per_dispatch=k, verbose=False)
+
+    b1, _, _, r1 = go(1, "k1")
+    b3, _, _, r3 = go(3, "k3")  # 7 epochs = blocks of 3+3+1
+    np.testing.assert_allclose(r3.loss_val, r1.loss_val, rtol=1e-6)
+    np.testing.assert_allclose(r3.loss_train, r1.loss_train, rtol=1e-5,
+                               atol=1e-7)
+    assert r3.best_val_epoch == r1.best_val_epoch
+    np.testing.assert_allclose(r3.best_val_metric, r1.best_val_metric,
+                               rtol=1e-6)
+    # the device-selected best tree evaluates to the recorded best metric
+    val3 = validate_epoch(eval_step, b3, vl)
+    np.testing.assert_allclose(val3, r3.best_val_metric, rtol=1e-5)
+
+
+def test_k_epochs_incompatible_with_plateau():
+    import pytest
+    from galerkin_transformer_tpu.train.schedule import adam_plateau
+    from galerkin_transformer_tpu.train.trainer import run_train
+
+    _, _, params, train_step, eval_step, tl, vl = _tiny_setup()
+    tx, plateau = adam_plateau(1e-3, grad_clip=0.999)
+    with pytest.raises(ValueError, match="epochs_per_dispatch"):
+        run_train(train_step, eval_step, params, tx.init(params), tl, vl,
+                  jax.random.key(0), epochs=2, plateau=plateau,
+                  device_loop=True, epochs_per_dispatch=2, verbose=False)
