@@ -40,6 +40,7 @@ def main(argv=None):
                    choices=("onecycle", "plateau"))
     p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--epochs-per-dispatch", type=int, default=1)
     p.add_argument("--resume-epoch", type=int, default=None)
     args = p.parse_args(argv)
     from galerkin_transformer_tpu.utils.jax_setup import setup
