@@ -115,6 +115,7 @@ def main(argv=None):
         result_name=result_name, ema_decay=args.ema_decay,
         device_loop=args.device_data,
         epochs_per_dispatch=args.epochs_per_dispatch,
+        rollback_on_spike=args.rollback_on_spike,
         resume=args.resume_epoch is not None,
         start_epoch=args.resume_epoch or 0)
 

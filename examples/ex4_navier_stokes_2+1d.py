@@ -41,6 +41,7 @@ def main(argv=None):
     p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--epochs-per-dispatch", type=int, default=1)
+    p.add_argument("--rollback-on-spike", type=float, default=None)
     p.add_argument("--resume-epoch", type=int, default=None)
     args = p.parse_args(argv)
     from galerkin_transformer_tpu.utils.jax_setup import setup
@@ -98,6 +99,7 @@ def main(argv=None):
         result_name="ns_lite_result.pkl", ema_decay=args.ema_decay,
         device_loop=args.device_data,
         epochs_per_dispatch=args.epochs_per_dispatch,
+        rollback_on_spike=args.rollback_on_spike,
         resume=args.resume_epoch is not None,
         start_epoch=args.resume_epoch or 0)
 

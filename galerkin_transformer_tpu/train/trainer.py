@@ -43,6 +43,25 @@ def validate_epoch(eval_step: Callable, params, valid_loader) -> float:
     return float(np.mean(jax.device_get(metrics)))
 
 
+def _reset_adam_moments(opt_state):
+    """Zero the first/second-moment trees of every ScaleByAdamState-like
+    node in an optax state tree, preserving everything else (step counts,
+    injected hyperparams) — so a post-rollback optimizer forgets the
+    exploded gradient statistics but keeps its schedule position."""
+    import jax.numpy as jnp
+
+    def rewrite(state):
+        if hasattr(state, "mu") and hasattr(state, "nu") and \
+                hasattr(state, "_replace"):
+            zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+            return state._replace(mu=zeros(state.mu), nu=zeros(state.nu))
+        if isinstance(state, tuple) and not hasattr(state, "_fields"):
+            return tuple(rewrite(s) for s in state)
+        return state
+
+    return rewrite(opt_state)
+
+
 def run_train(train_step: Callable,
               eval_step: Callable,
               params,
@@ -65,6 +84,8 @@ def run_train(train_step: Callable,
               ema_decay: Optional[float] = None,
               device_loop: bool = False,
               epochs_per_dispatch: int = 1,
+              rollback_on_spike: Optional[float] = None,
+              max_rollbacks: int = 5,
               verbose: bool = True) -> tuple:
     """Returns (best_params, final_params, opt_state, TrainResult).
 
@@ -96,6 +117,14 @@ def run_train(train_step: Callable,
     epochs of compute after the stop condition) and, with EMA, the
     checkpointed raw trajectory being the block-final raw params.
     Incompatible with the plateau scheduler (per-epoch host lr control).
+
+    With ``rollback_on_spike=s`` (e.g. 10.0), an epoch whose mean train
+    loss exceeds s× the best epoch loss so far — or goes non-finite —
+    triggers failure recovery instead of training on from the wreck:
+    params (and the EMA tree) are restored from the best checkpoint and
+    the Adam moment estimates are zeroed (the schedule step count is
+    kept).  At most ``max_rollbacks`` recoveries; after that, stop with
+    the best checkpoint preserved.
     """
     if patience is None or patience == 0:
         patience = epochs
@@ -112,6 +141,37 @@ def run_train(train_step: Callable,
     stop_counter = 0
     loss_train, loss_val, lr_history = [], [], []
     it = start_epoch * len(train_loader)
+
+    # failure recovery: a loss explosion at high lr can drop the model
+    # into a dead zero-gradient basin it never leaves (observed on 500-ep
+    # runs: one bad epoch at lr 1e-3 -> frozen trivial predictor for the
+    # remaining 400 epochs).  With rollback_on_spike=s, an epoch whose
+    # train loss exceeds s x the best epoch loss (or goes non-finite)
+    # restores the best checkpoint and zeroes the Adam moments (schedule
+    # position kept), instead of training on from the wreck.
+    n_rollbacks = 0
+    best_train_loss = np.inf
+
+    def _spiked(loss_mean):
+        loss0 = float(loss_mean[0])
+        finite = bool(np.isfinite(loss_mean).all())
+        return rollback_on_spike is not None and (
+            not finite or (np.isfinite(best_train_loss)
+                           and loss0 > rollback_on_spike * best_train_loss))
+
+    def _do_rollback(loss_mean, at_epoch):
+        nonlocal params, opt_state, ema_params, n_rollbacks
+        n_rollbacks += 1
+        params = _snapshot(best_params)
+        opt_state = _reset_adam_moments(opt_state)
+        if ema_params is not None:
+            ema_params = _snapshot(best_params)
+        if verbose:
+            print(f"loss spike at epoch {at_epoch + 1} (train loss "
+                  f"{float(loss_mean[0]):.3e} vs best {best_train_loss:.3e});"
+                  f" rolled back to the epoch-{best_epoch + 1} checkpoint, "
+                  f"Adam moments reset ({n_rollbacks}/{max_rollbacks})",
+                  flush=True)
 
     ckpt_path = os.path.join(model_save_path, model_name)
     result_path = os.path.join(model_save_path, result_name)
@@ -217,9 +277,21 @@ def run_train(train_step: Callable,
             improved_any = False
             it0 = it
             it += k * runner.n_batches  # all k epochs did train on device
+            resume_at = None
             for i in range(k):
                 loss_mean = losses_blk[i].mean(axis=0)
                 loss_train.append(loss_mean)
+                if _spiked(loss_mean):
+                    if n_rollbacks >= max_rollbacks:
+                        print(f"loss spike at epoch {epoch + i + 1} with "
+                              f"the rollback budget exhausted; stopping — "
+                              f"best checkpoint from epoch {best_epoch + 1} "
+                              f"is preserved", flush=True)
+                        halted = True
+                        break
+                    _do_rollback(loss_mean, epoch + i)
+                    resume_at = epoch + i + 1  # rest of block ran on wreck
+                    break
                 if not np.isfinite(loss_mean).all():
                     print(f"divergence detected at epoch {epoch + i + 1} "
                           f"(non-finite training loss); stopping — best "
@@ -227,6 +299,7 @@ def run_train(train_step: Callable,
                           f"preserved", flush=True)
                     halted = True
                     break
+                best_train_loss = min(best_train_loss, float(loss_mean[0]))
                 val_metric = float(vals_blk[i])
                 loss_val.append(val_metric)
                 improved = np.isfinite(val_metric) and (
@@ -264,7 +337,7 @@ def run_train(train_step: Callable,
                                  loss_val=np.asarray(loss_val),
                                  lr_history=np.asarray(lr_history))
             save_pickle(result.asdict(), result_path)
-            epoch += k
+            epoch = resume_at if resume_at is not None else epoch + k
         epochs = start_epoch  # skip the per-epoch loop below
 
     for epoch in range(start_epoch, epochs):
@@ -296,6 +369,15 @@ def run_train(train_step: Callable,
                 jax.vmap(lr_schedule)(np.arange(it - n_steps, it))).tolist())
         loss_train.append(loss_mean)
 
+        if _spiked(loss_mean):
+            if n_rollbacks >= max_rollbacks:
+                print(f"loss spike at epoch {epoch + 1} with the rollback "
+                      f"budget exhausted; stopping — best checkpoint from "
+                      f"epoch {best_epoch + 1} is preserved", flush=True)
+                break
+            _do_rollback(loss_mean, epoch)
+            continue
+
         # failure detection: a diverged run never recovers through Adam
         # state — stop, keep the last good checkpoint
         if not np.isfinite(loss_mean).all():
@@ -303,6 +385,7 @@ def run_train(train_step: Callable,
                   f"(non-finite training loss); stopping — best checkpoint "
                   f"from epoch {best_epoch + 1} is preserved", flush=True)
             break
+        best_train_loss = min(best_train_loss, float(loss_mean[0]))
 
         eval_params = ema_params if ema_params is not None else params
         if val_metric is None:

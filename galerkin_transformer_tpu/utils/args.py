@@ -52,6 +52,11 @@ def get_args_1d(argv=None):
                    help="keep the dataset in HBM and run each epoch as one "
                         "jitted program (train.device_loop); --no-device-data "
                         "uses the host DataLoader per batch")
+    p.add_argument("--rollback-on-spike", type=float, default=None,
+                   help="failure recovery: if an epoch's train loss exceeds "
+                        "this factor x the best epoch loss (or goes "
+                        "non-finite), restore the best checkpoint and reset "
+                        "Adam moments instead of training on (e.g. 10)")
     p.add_argument("--epochs-per-dispatch", type=int, default=1,
                    help="with --device-data: run k epochs as ONE jitted "
                         "program with on-device best tracking (one host "
@@ -119,6 +124,11 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
                    help="keep the dataset in HBM and run each epoch as one "
                         "jitted program (train.device_loop); --no-device-data "
                         "uses the host DataLoader per batch")
+    p.add_argument("--rollback-on-spike", type=float, default=None,
+                   help="failure recovery: if an epoch's train loss exceeds "
+                        "this factor x the best epoch loss (or goes "
+                        "non-finite), restore the best checkpoint and reset "
+                        "Adam moments instead of training on (e.g. 10)")
     p.add_argument("--epochs-per-dispatch", type=int, default=1,
                    help="with --device-data: run k epochs as ONE jitted "
                         "program with on-device best tracking (one host "

@@ -360,3 +360,48 @@ def test_darcy_online_noise_resamples_per_step():
     assert losses[0] != losses[1]  # fresh noise realization per rng
     m1, m2 = (float(eval_step(params, b)) for _ in range(2))
     assert m1 == m2  # eval untouched
+
+
+def test_rollback_on_spike_recovers(capsys):
+    """A mid-training parameter explosion triggers rollback to the best
+    checkpoint + Adam moment reset, and training continues (host loop)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from galerkin_transformer_tpu.train.trainer import run_train
+
+    from tests.test_device_loop import _tiny_setup
+    _, tx, params, train_step, eval_step, tl, vl = _tiny_setup()
+    tl.shuffle = True
+
+    calls = {"n": 0}
+
+    def sabotaged_step(params, opt_state, batch, rng):
+        params, opt_state, rng, losses = train_step(
+            params, opt_state, batch, rng)
+        calls["n"] += 1
+        if calls["n"] == 9:  # poison params inside epoch 3 (4 steps/epoch)
+            params = jax.tree_util.tree_map(lambda x: x * 1e4, params)
+        return params, opt_state, rng, losses
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        best_params, _, _, result = run_train(
+            sabotaged_step, eval_step, params, tx.init(params), tl, vl,
+            jax.random.key(0), epochs=8, patience=None,
+            model_save_path=d, model_name="m.ckpt", result_name="r.pkl",
+            device_loop=False, rollback_on_spike=10.0, verbose=True)
+    out = capsys.readouterr().out
+    assert "rolled back" in out
+    lt = np.asarray(result.loss_train)[:, 0]
+    # the poisoned epoch really spiked (to non-finite or >10x best)
+    spiked = ~np.isfinite(lt) | (lt > 10 * np.nanmin(lt))
+    assert spiked.any()
+    assert np.isfinite(result.best_val_metric)
+    # post-rollback training kept going: the epochs recorded after the
+    # spike are finite and resume the healthy descent
+    last_spike = np.nonzero(spiked)[0][-1]
+    assert last_spike < len(lt) - 1
+    post = lt[last_spike + 1:]
+    assert np.isfinite(post).all()
+    assert post[-1] <= np.nanmin(lt[:last_spike]) * 1.5
