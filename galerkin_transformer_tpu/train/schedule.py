@@ -44,6 +44,12 @@ def adam_onecycle(max_lr: float, total_steps: int,
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, weight_decay=weight_decay)
         if weight_decay > 0 else optax.adam(sched),
+        # host-controllable global lr scale (1.0 = no-op): the trainer's
+        # spike-rollback recovery halves it per rollback, because
+        # restarting from the best checkpoint at the SAME lr that caused
+        # the explosion deterministically re-explodes (field test:
+        # docs/PERFORMANCE.md 500-ep stability note)
+        optax.inject_hyperparams(optax.scale)(step_size=1.0),
     )
     return tx, sched
 

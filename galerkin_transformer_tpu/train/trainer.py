@@ -43,6 +43,33 @@ def validate_epoch(eval_step: Callable, params, valid_loader) -> float:
     return float(np.mean(jax.device_get(metrics)))
 
 
+def _scale_injected_step(opt_state, factor: float):
+    """Multiply the injected ``step_size`` hyperparam (the trainer-
+    controllable global lr scale appended by `adam_onecycle`) by
+    ``factor``.  Returns (new_state, new_scale) — (state, None) untouched
+    if the chain has no injected step_size (older/custom optimizers)."""
+    import jax.numpy as jnp
+
+    found = []
+
+    def rewrite(state):
+        if hasattr(state, "hyperparams") and \
+                "step_size" in getattr(state, "hyperparams", {}):
+            hp = dict(state.hyperparams)
+            new = jnp.asarray(hp["step_size"]) * factor
+            found.append(float(new))
+            hp["step_size"] = new
+            return state._replace(hyperparams=hp)
+        if isinstance(state, tuple) and not hasattr(state, "_fields"):
+            return tuple(rewrite(s) for s in state)
+        return state
+
+    new_state = rewrite(opt_state)
+    if not found:
+        return opt_state, None
+    return new_state, found[0]
+
+
 def _reset_adam_moments(opt_state):
     """Zero the first/second-moment trees of every ScaleByAdamState-like
     node in an optax state tree, preserving everything else (step counts,
@@ -164,14 +191,19 @@ def run_train(train_step: Callable,
         n_rollbacks += 1
         params = _snapshot(best_params)
         opt_state = _reset_adam_moments(opt_state)
+        # back the lr off: re-entering the same loss-surface region at
+        # the lr that just exploded re-explodes (field-tested)
+        opt_state, scale = _scale_injected_step(opt_state, 0.5)
         if ema_params is not None:
             ema_params = _snapshot(best_params)
         if verbose:
+            backoff = (f", lr scale -> {scale:g}" if scale is not None
+                       else "")
             print(f"loss spike at epoch {at_epoch + 1} (train loss "
                   f"{float(loss_mean[0]):.3e} vs best {best_train_loss:.3e});"
                   f" rolled back to the epoch-{best_epoch + 1} checkpoint, "
-                  f"Adam moments reset ({n_rollbacks}/{max_rollbacks})",
-                  flush=True)
+                  f"Adam moments reset{backoff} "
+                  f"({n_rollbacks}/{max_rollbacks})", flush=True)
 
     ckpt_path = os.path.join(model_save_path, model_name)
     result_path = os.path.join(model_save_path, result_name)
