@@ -42,7 +42,20 @@ def main():
     ap.add_argument("--seed", type=int, default=1127802)
     ap.add_argument("--out", type=str, default=None,
                     help="output json path (default eval/calibration_burgers.json)")
+    ap.add_argument("--no-score-dropout", action="store_true", default=False,
+                    help="ablation: neutralize the reference's hard-coded "
+                         "F.dropout(p_attn) (p=0.5, training=True always — "
+                         "layers.py:700-701,730-731) to isolate its effect "
+                         "on the controlled comparison")
     args = ap.parse_args()
+
+    if args.no_score_dropout:
+        import torch.nn.functional as F
+        _real_dropout = F.dropout
+
+        def _passthrough(x, p=0.5, training=True, inplace=False):
+            return x
+        F.dropout = _passthrough
 
     import numpy as np
     import torch
