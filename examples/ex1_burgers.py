@@ -50,6 +50,8 @@ def main(argv=None):
     config = load_config("ex1_burgers")
     config["attn_norm"] = not args.layer_norm
     config = merge_config(config, args)
+    if args.score_dropout is not None:
+        config["score_dropout"] = args.score_dropout
     if args.bf16:
         config["dtype"] = jnp.bfloat16
     model = SimpleTransformer.from_config(config)

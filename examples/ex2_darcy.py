@@ -64,6 +64,8 @@ def main(argv=None):
     elif config["attention_type"] == "galerkin" and n_grid >= 211:
         config["norm_eps"] = 1e-5
     config = merge_config(config, args)
+    if getattr(args, 'score_dropout', None) is not None:
+        config["score_dropout"] = args.score_dropout
     if args.bf16:
         config["dtype"] = jnp.bfloat16
     model = FourierTransformer2D.from_config(config)

@@ -64,6 +64,8 @@ def main(argv=None):
     config["upscaler_size"] = ((n_grid_c, n_grid_c), (n_grid_c, n_grid_c))
     config["attn_norm"] = not args.layer_norm
     config = merge_config(config, args)
+    if getattr(args, 'score_dropout', None) is not None:
+        config["score_dropout"] = args.score_dropout
     if args.bf16:
         config["dtype"] = jnp.bfloat16
     model = FourierTransformer2D.from_config(config)

@@ -42,6 +42,9 @@ class SimpleTransformerEncoderLayer(nn.Module):
     activation_type: Optional[str] = "relu"
     dropout: Optional[float] = 0.1
     ffn_dropout: Optional[float] = None
+    # attention score-matrix dropout override (None -> attention dropout);
+    # see SimpleAttention.score_dropout for the reference-accident note
+    score_dropout: Optional[float] = None
     dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
     seq_mesh: Optional[Any] = None      # sequence-parallel mesh (see layers)
     seq_axis: str = "seq"
@@ -77,6 +80,7 @@ class SimpleTransformerEncoderLayer(nn.Module):
             norm_type=norm_type,
             eps=norm_eps,
             dropout=dropout,
+            score_dropout=self.score_dropout,
             # the tiled fourier kernel never materializes the n×n weights,
             # so force the dense path when the caller wants them returned
             # (the galerkin kernel's d×d weights are always available)

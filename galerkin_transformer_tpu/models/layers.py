@@ -145,6 +145,12 @@ class SimpleAttention(nn.Module):
     pos_dim: int = 1
     attention_type: str = "fourier"
     dropout: float = 0.1
+    # score-matrix dropout override.  None -> use `dropout` (the intended
+    # reference semantics).  The reference's ACTUAL behavior is p=0.5
+    # regardless of config: layers.py:700-701/730-731 call
+    # F.dropout(p_attn) with default p and training=True (even in eval) —
+    # set score_dropout=0.5 to replicate that accident for ablations.
+    score_dropout: Optional[float] = None
     xavier_init: float = 1e-4
     diagonal_weight: float = 1e-2
     symmetric_init: bool = False
@@ -168,6 +174,7 @@ class SimpleAttention(nn.Module):
         bsz = query.shape[0]
         atype = self.attention_type
         is_galerkin = atype in ("linear", "galerkin", "global")
+        score_rate = default(self.score_dropout, self.dropout)
 
         if weight is not None:
             query, key = weight * query, weight * key
@@ -213,7 +220,7 @@ class SimpleAttention(nn.Module):
             d_eff = d_k + (self.pos_dim if pos_in is not None else 0)
             # dropout keep-mask on the tiny d×d scores, drawn OUTSIDE the
             # shard_map so the RNG stream matches the unsharded paths
-            score_mask = nn.Dropout(self.dropout)(
+            score_mask = nn.Dropout(score_rate)(
                 jnp.ones((bsz, h, d_eff, d_eff), q.dtype),
                 deterministic=deterministic)
             x, p_attn = seq_sharded_galerkin_attention(
@@ -251,7 +258,7 @@ class SimpleAttention(nn.Module):
             sv = self.param("norm_V_scale", nn.initializers.ones, (h, d_k))
             bv = self.param("norm_V_bias", nn.initializers.zeros, (h, d_k))
             pos_in = pos if (pos is not None and self.pos_dim > 0) else None
-            dropout_mod = nn.Dropout(self.dropout)
+            dropout_mod = nn.Dropout(score_rate)
             x, p_attn = galerkin_attention_fused(
                 q, k, v, pos_in, sk, bk, sv, bv, eps=self.eps,
                 interpret=jax.default_backend() != "tpu",
@@ -283,7 +290,7 @@ class SimpleAttention(nn.Module):
                 k = head_norm(k, "K")
                 q = head_norm(q, "Q")
 
-        dropout_mod = nn.Dropout(self.dropout)
+        dropout_mod = nn.Dropout(score_rate)
 
         def attn_dropout(scores):
             return dropout_mod(scores, deterministic=deterministic)
@@ -346,7 +353,7 @@ class SimpleAttention(nn.Module):
                             else (jax.default_backend() == "tpu"
                                   and scores_bytes > 512 * 2 ** 20))
             if (fuse_fourier and mask is None
-                    and (self.dropout == 0.0 or deterministic)):
+                    and (score_rate == 0.0 or deterministic)):
                 # flash-style tiled kernel: no n×n score materialization
                 from ..ops.pallas.fourier import fourier_attention_tiled
                 x = fourier_attention_tiled(

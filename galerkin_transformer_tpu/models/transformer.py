@@ -96,6 +96,7 @@ class SimpleTransformer(_ConfigurableModel):
     encoder_dropout: Optional[float] = 0.0
     decoder_dropout: Optional[float] = 0.0
     ffn_dropout: Optional[float] = 0.0
+    score_dropout: Optional[float] = None  # attn score-dropout override
     dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
     seq_mesh: Optional[Any] = None  # sequence-parallel mesh (parallel.galerkin)
 
@@ -170,6 +171,7 @@ class SimpleTransformer(_ConfigurableModel):
                 activation_type=self.attn_activation,
                 dropout=self.encoder_dropout,
                 ffn_dropout=self.ffn_dropout,
+                score_dropout=self.score_dropout,
                 dtype=self.dtype,
                 seq_mesh=self.seq_mesh,
                 name=f"encoder_layer{i}")
@@ -288,6 +290,7 @@ class FourierTransformer2D(_ConfigurableModel):
     encoder_dropout: Optional[float] = 0.05
     decoder_dropout: Optional[float] = 0.0
     ffn_dropout: Optional[float] = 0.05
+    score_dropout: Optional[float] = None  # attn score-dropout override
     downscaler_dropout: Optional[float] = 0.05
     upscaler_dropout: Optional[float] = 0.0
     dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
@@ -387,6 +390,7 @@ class FourierTransformer2D(_ConfigurableModel):
                 activation_type=self.attn_activation,
                 dropout=self.encoder_dropout,
                 ffn_dropout=self.ffn_dropout,
+                score_dropout=self.score_dropout,
                 dtype=self.dtype,
                 seq_mesh=self.seq_mesh,
                 name=f"encoder_layer{i}")
@@ -500,6 +504,7 @@ class FourierTransformer2DLite(_ConfigurableModel):
     encoder_dropout: Optional[float] = 0.0
     decoder_dropout: Optional[float] = 0.0
     ffn_dropout: Optional[float] = 0.05
+    score_dropout: Optional[float] = None  # attn score-dropout override
     dtype: Optional[Any] = None   # encoder compute dtype, e.g. jnp.bfloat16
     seq_mesh: Optional[Any] = None  # sequence-parallel mesh (parallel.galerkin)
 
@@ -529,6 +534,7 @@ class FourierTransformer2DLite(_ConfigurableModel):
                 diagonal_weight=self.diagonal_weight,
                 dropout=self.encoder_dropout,
                 ffn_dropout=self.ffn_dropout,
+                score_dropout=self.score_dropout,
                 pos_dim=self.pos_dim,
                 dtype=self.dtype,
                 seq_mesh=self.seq_mesh,

@@ -20,8 +20,14 @@ def get_args_1d(argv=None):
     p.add_argument("--encoder-dropout", type=float, default=0.0)
     p.add_argument("--decoder-dropout", type=float, default=0.0)
     p.add_argument("--dropout", type=float, default=0.0,
-                   help="attention score-matrix dropout (the reference "
-                        "trained ex1 with an accidental 0.5 here)")
+                   help="model-level feature dropout (config key `dropout`, "
+                        "the reference's `dpo` layer)")
+    p.add_argument("--score-dropout", type=float, default=None,
+                   help="attention score-matrix dropout override. The "
+                        "reference hard-codes p=0.5 here regardless of "
+                        "config (libs/layers.py:700-701,730-731 call "
+                        "F.dropout with default p); set 0.5 to replicate "
+                        "that accident, unset for the intended semantics")
     p.add_argument("--layer-norm", action="store_true", default=False)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -85,6 +91,9 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
     p.add_argument("--ffn-dropout", type=float, default=ffn_dropout)
     p.add_argument("--encoder-dropout", type=float, default=encoder_dropout)
     p.add_argument("--dropout", type=float, default=dropout)
+    p.add_argument("--score-dropout", type=float, default=None,
+                   help="attention score-matrix dropout override "
+                        "(see ex1 --score-dropout)")
     p.add_argument("--decoder-dropout", type=float, default=decoder_dropout)
     p.add_argument("--layer-norm", action="store_true", default=False)
     p.add_argument("--n-hidden", type=int, default=None,

@@ -204,3 +204,49 @@ def test_bulk_regressor_shapes(rng_key):
     x = jax.random.normal(rng_key, (2, 32, 8))
     params = br.init(rng_key, x)
     assert br.apply(params, x).shape == (2, 5, 3)
+
+
+@pytest.mark.parametrize("atype", ["galerkin", "fourier"])
+def test_score_dropout_routes_to_attention_scores(rng_key, atype):
+    """score_dropout overrides only the attention score-matrix dropout.
+
+    The reference hard-codes p=0.5 there (libs/layers.py:700-701,730-731
+    call F.dropout with default p regardless of config); our knob makes
+    that accident reproducible without touching the other dropout sites.
+    """
+    x = jax.random.normal(rng_key, (2, 32, 32), jnp.float32)
+    pos = jax.random.normal(jax.random.key(9), (2, 32, 1), jnp.float32)
+
+    def run(score_dropout, deterministic, salt=0):
+        attn = SimpleAttention(n_head=2, d_model=32, attention_type=atype,
+                               dropout=0.0, score_dropout=score_dropout,
+                               norm=(atype == "galerkin"))
+        params = attn.init(jax.random.key(0), x, x, x, pos=pos)["params"]
+        out, _ = attn.apply({"params": params}, x, x, x, pos=pos,
+                            deterministic=deterministic,
+                            rngs={"dropout": jax.random.key(123 + salt)})
+        return out
+
+    base = run(None, deterministic=False)
+    # eval mode: override is inert
+    np.testing.assert_allclose(run(0.5, True), run(None, True), rtol=1e-6)
+    # train mode: a non-zero override changes the output (scores masked)...
+    assert not np.allclose(run(0.5, False), base, atol=1e-6)
+    # ...and 0.0 matches the dropout=0.0 default exactly
+    np.testing.assert_allclose(run(0.0, False), base, rtol=1e-6)
+
+
+def test_score_dropout_plumbs_through_encoder_layer(rng_key):
+    """SimpleTransformerEncoderLayer forwards score_dropout to its attention."""
+    x = jax.random.normal(rng_key, (2, 32, 32), jnp.float32)
+    pos = jax.random.normal(jax.random.key(9), (2, 32, 1), jnp.float32)
+
+    def run(score_dropout):
+        layer = SimpleTransformerEncoderLayer(
+            d_model=32, n_head=2, attention_type="galerkin",
+            dropout=0.0, ffn_dropout=0.0, score_dropout=score_dropout)
+        params = layer.init(jax.random.key(0), x, pos)["params"]
+        return layer.apply({"params": params}, x, pos, deterministic=False,
+                           rngs={"dropout": jax.random.key(77)})
+
+    assert not np.allclose(run(0.5), run(None), atol=1e-6)
