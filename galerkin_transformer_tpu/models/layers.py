@@ -122,24 +122,6 @@ class FeedForward(nn.Module):
                         **torch_linear_init(self.dim_feedforward))(x)
 
 
-class _ProjParams(nn.Module):
-    """Projection parameters in nn.Dense's {kernel,bias} tree layout.
-
-    Declaring the params directly (instead of via nn.Dense) lets
-    SimpleAttention compute q/k/v as one concatenated matmul while the
-    checkpoint tree, torch-import mapping, and per-param init RNG stream
-    stay byte-identical to the three-Dense layout.
-    """
-    features: int
-    kernel_init: Callable
-
-    @nn.compact
-    def __call__(self, fan_in: int):
-        return (self.param("kernel", self.kernel_init,
-                           (fan_in, self.features)),
-                self.param("bias", nn.initializers.zeros, (self.features,)))
-
-
 class SimpleAttention(nn.Module):
     """Multi-head softmax-free attention with per-head pre-matmul norm.
 
@@ -202,38 +184,16 @@ class SimpleAttention(nn.Module):
                 self.xavier_init, self.diagonal_weight, self.symmetric_init)
         else:
             kernel_init = nn.initializers.lecun_normal()
-        # parameters live under the same {q,k,v}_proj/{kernel,bias} tree an
-        # nn.Dense would create (checkpoint / torch-import compat, identical
-        # init RNG folding), but self-attention computes all three as ONE
-        # concatenated (d, 3d) matmul: one pass over x in the forward AND
-        # one fused weight-grad matmul in the backward instead of three
-        # (the ex1 device trace shows weight-grad fusions dominate the
-        # step — docs/PERFORMANCE.md round-3 trace table).
-        wb = [_ProjParams(self.d_model, kernel_init, name=nm)(query.shape[-1])
-              for nm in ("q_proj", "k_proj", "v_proj")]
-
-        def dense(x, kern, bias):
-            if self.dtype is not None:
-                x, kern, bias = (x.astype(self.dtype),
-                                 kern.astype(self.dtype),
-                                 bias.astype(self.dtype))
-            return x @ kern + bias
-
+        proj = [nn.Dense(self.d_model, kernel_init=kernel_init,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         name=nm)
+                for nm in ("q_proj", "k_proj", "v_proj")]
         # (B, n, d_model) -> (B, H, n, d_k)
         def split_heads(x):
             return x.reshape(bsz, -1, h, d_k).transpose(0, 2, 1, 3)
-
-        if query is key and key is value:
-            w3 = jnp.concatenate([w for w, _ in wb], axis=1)
-            b3 = jnp.concatenate([b for _, b in wb])
-            qkv = dense(query, w3, b3)
-            q = split_heads(qkv[..., : self.d_model])
-            k = split_heads(qkv[..., self.d_model: 2 * self.d_model])
-            v = split_heads(qkv[..., 2 * self.d_model:])
-        else:
-            q = split_heads(dense(query, *wb[0]))
-            k = split_heads(dense(key, *wb[1]))
-            v = split_heads(dense(value, *wb[2]))
+        q = split_heads(proj[0](query))
+        k = split_heads(proj[1](key))
+        v = split_heads(proj[2](value))
 
         # sequence-parallel path: activations stay sharded over the mesh's
         # seq axis; the d×d reduction is a local partial sum + one psum
