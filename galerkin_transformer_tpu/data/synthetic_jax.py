@@ -71,15 +71,25 @@ def navier_stokes_spectral_jax(n_samples: int = 64, n_grid: int = 64,
                                seed: int = 1127802) -> np.ndarray:
     """Same contract as synthetic.navier_stokes_spectral, device-resident."""
     key = jax.random.key(seed)
+    # All initial conditions in one draw (the chunked rollout below must not
+    # change the PRNG stream: chunked == unchunked data, sample for sample).
     w0 = grf_2d_jax(key, n_samples, n_grid)
     xs = jnp.linspace(0, 1, n_grid, endpoint=False)
     X, Y = jnp.meshgrid(xs, xs, indexing="ij")
     f = 0.1 * (jnp.sin(2 * jnp.pi * (X + Y)) + jnp.cos(2 * jnp.pi * (X + Y)))
     f_hat = jnp.fft.fft2(f)
     steps_per_record = int(round(record_every / dt))
-    out = _ns_rollout(w0, f_hat, n_grid, n_steps_record, steps_per_record,
-                      visc, dt)
-    return np.asarray(out, dtype=np.float64)
+    # Rollouts are per-sample independent; chunk them so no single XLA
+    # dispatch runs for minutes (512 trajectories ≈ 60 s on a v5e — a
+    # 2048-sample single dispatch crashed the axon TPU worker).  One
+    # compile is reused by every full chunk.
+    chunk = min(n_samples, 512)
+    outs = []
+    for i in range(0, n_samples, chunk):
+        out = _ns_rollout(w0[i: i + chunk], f_hat, n_grid, n_steps_record,
+                          steps_per_record, visc, dt)
+        outs.append(np.asarray(out, dtype=np.float64))
+    return np.concatenate(outs, axis=0)
 
 
 # ----------------------------------------------------------------- Burgers

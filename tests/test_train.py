@@ -41,6 +41,114 @@ def test_onecycle_matches_torch():
     assert float(sched(total)) < 2e-11                 # final value
 
 
+def test_onecycle_momentum_matches_torch():
+    """Our beta1 cycle == torch OneCycleLR's cycle_momentum rewrite.
+
+    torch OneCycleLR with Adam rewrites betas[0] every step (cycle_momentum
+    defaults True — the reference trains under it in every driver); our
+    onecycle_momentum_schedule must reproduce that curve."""
+    torch = pytest.importorskip("torch")
+    from torch.optim.lr_scheduler import OneCycleLR
+
+    from galerkin_transformer_tpu.train.schedule import \
+        onecycle_momentum_schedule
+
+    total = 200
+    sched = onecycle_momentum_schedule(total, pct_start=0.2)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-3)
+    tsched = OneCycleLR(opt, max_lr=1e-3, div_factor=1e4,
+                        final_div_factor=1e4, pct_start=0.2,
+                        total_steps=total)
+    ours = np.asarray([float(sched(s)) for s in range(total)])
+    theirs = []
+    for _ in range(total):
+        theirs.append(opt.param_groups[0]["betas"][0])
+        opt.step()
+        tsched.step()
+    theirs = np.asarray(theirs)
+    # same one-step phase-convention shift as the lr test
+    shifted = np.interp(np.arange(total) * (total - 1) / total,
+                        np.arange(total), theirs)
+    np.testing.assert_allclose(ours, shifted, atol=2e-3)
+    assert abs(ours[0] - 0.95) < 1e-6                  # start at max_momentum
+    assert abs(ours.min() - 0.85) < 1e-4               # trough = base_momentum
+    assert np.argmin(ours) in (39, 40, 41)             # trough at the lr peak
+    assert abs(float(sched(total)) - 0.95) < 1e-4      # back to max at the end
+
+
+def test_scale_by_adam_cycled_matches_torch_adam():
+    """scale_by_adam_cycled == torch Adam under per-step beta1 rewrites.
+
+    Constant lr=1 isolates the moment/bias-correction semantics from the
+    lr schedule; beta1 follows an arbitrary per-step sequence fed to both
+    sides (torch via param_groups rewriting, exactly what OneCycleLR does)."""
+    torch = pytest.importorskip("torch")
+
+    from galerkin_transformer_tpu.train.schedule import scale_by_adam_cycled
+
+    steps = 12
+    rng = np.random.default_rng(0)
+    grads = rng.normal(size=(steps, 5)).astype(np.float32)
+    b1_seq = np.linspace(0.95, 0.85, steps).astype(np.float32)
+
+    b1_of = lambda count: jnp.asarray(b1_seq)[count]
+    tx = scale_by_adam_cycled(b1_of)
+    params = jnp.zeros(5)
+    state = tx.init(params)
+    ours = params
+    for g in grads:
+        upd, state = tx.update(jnp.asarray(g), state)
+        ours = ours - upd  # lr = 1
+
+    p = torch.nn.Parameter(torch.zeros(5))
+    opt = torch.optim.Adam([p], lr=1.0)
+    for g, b1 in zip(grads, b1_seq):
+        opt.param_groups[0]["betas"] = (float(b1), 0.999)
+        p.grad = torch.from_numpy(np.array(g))
+        opt.step()
+    np.testing.assert_allclose(np.asarray(ours), p.detach().numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_adam_onecycle_momentum_rollback_compat():
+    """The cycled-momentum chain keeps rollback introspection working:
+    _reset_adam_moments finds the moments, _scale_injected_step the lr
+    scale (trainer.py spike-rollback path)."""
+    from galerkin_transformer_tpu.train.schedule import adam_onecycle
+    from galerkin_transformer_tpu.train.trainer import (_reset_adam_moments,
+                                                        _scale_injected_step)
+
+    tx, _ = adam_onecycle(1e-3, 10)  # cycle_momentum defaults True
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    upd, state = tx.update({"w": jnp.ones(3)}, state, params)
+    assert jnp.all(jnp.isfinite(upd["w"]))
+
+    flat = jax.tree_util.tree_leaves(_reset_adam_moments(state))
+    # after reset, the moment trees must be zero again (mu, nu both zeroed)
+    reset = _reset_adam_moments(state)
+
+    def find_adam(s):
+        if hasattr(s, "mu") and hasattr(s, "nu"):
+            return s
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            for e in s:
+                r = find_adam(e)
+                if r is not None:
+                    return r
+        return None
+
+    adam_state = find_adam(reset)
+    assert adam_state is not None, "moment state not found post-reset"
+    assert float(jnp.abs(adam_state.mu["w"]).max()) == 0.0
+    assert float(jnp.abs(adam_state.nu["w"]).max()) == 0.0
+    assert adam_state.count == 1  # schedule position preserved
+    _, scale = _scale_injected_step(state, 0.5)
+    assert scale == 0.5
+    del flat
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from galerkin_transformer_tpu.train.checkpoint import (load_checkpoint,
                                                            save_checkpoint)
