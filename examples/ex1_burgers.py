@@ -82,7 +82,8 @@ def main(argv=None):
         sched = None
     else:
         tx, sched = adam_onecycle(args.lr, total_steps, pct_start=0.2,
-                                  grad_clip=0.999)
+                                  grad_clip=0.999,
+                                  cycle_momentum=args.cycle_momentum)
     opt_state = tx.init(params)
 
     loss_fn = WeightedL2Loss(regularizer=True, h=h, gamma=args.gamma)

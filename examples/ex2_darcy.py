@@ -99,7 +99,8 @@ def main(argv=None):
         sched = None
     else:
         tx, sched = adam_onecycle(lr, total_steps, pct_start=0.3,
-                                  grad_clip=0.99)
+                                  grad_clip=0.99,
+                                  cycle_momentum=args.cycle_momentum)
     opt_state = tx.init(params)
 
     loss_fn = WeightedL2Loss2d(regularizer=True, h=h, gamma=args.gamma)

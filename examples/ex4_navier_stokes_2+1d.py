@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--ema-decay", type=float, default=None)
     p.add_argument("--scheduler", type=str, default="onecycle",
                    choices=("onecycle", "plateau"))
+    p.add_argument("--cycle-momentum", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="cycle Adam beta1 0.95->0.85->0.95 with the 1cycle "
+                        "lr (torch OneCycleLR's default); "
+                        "--no-cycle-momentum holds beta1=0.9")
     p.add_argument("--device-data", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--epochs-per-dispatch", type=int, default=1)
@@ -81,7 +86,8 @@ def main(argv=None):
         tx, plateau = adam_plateau(args.lr, grad_clip=0.99)
         sched = None
     else:
-        tx, sched = adam_onecycle(args.lr, total_steps, grad_clip=0.99)
+        tx, sched = adam_onecycle(args.lr, total_steps, grad_clip=0.99,
+                                  cycle_momentum=args.cycle_momentum)
     opt_state = tx.init(params)
 
     loss_fn = WeightedL2Loss2d(regularizer=True, h=h, gamma=args.gamma)

@@ -49,6 +49,11 @@ def get_args_1d(argv=None):
                    help="bfloat16 encoder activations (params/decoder stay f32)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="parameter EMA decay for eval/checkpoints, e.g. 0.999")
+    p.add_argument("--cycle-momentum", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="cycle Adam beta1 0.95->0.85->0.95 with the 1cycle "
+                        "lr (torch OneCycleLR's default the reference "
+                        "trains under); --no-cycle-momentum holds beta1=0.9")
     p.add_argument("--scheduler", type=str, default="onecycle",
                    choices=("onecycle", "plateau"),
                    help="per-batch 1cycle (reference default) or per-value "
@@ -124,6 +129,11 @@ def get_args_2d(subsample_nodes=3, subsample_attn=10, gamma=0.5, noise=0.0,
                    help="bfloat16 encoder activations (params/decoder stay f32)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="parameter EMA decay for eval/checkpoints, e.g. 0.999")
+    p.add_argument("--cycle-momentum", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="cycle Adam beta1 0.95->0.85->0.95 with the 1cycle "
+                        "lr (torch OneCycleLR's default the reference "
+                        "trains under); --no-cycle-momentum holds beta1=0.9")
     p.add_argument("--scheduler", type=str, default="onecycle",
                    choices=("onecycle", "plateau"),
                    help="per-batch 1cycle (reference default) or per-epoch "
