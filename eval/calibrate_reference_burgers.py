@@ -117,6 +117,9 @@ def main():
     t0 = time.time()
     path = args.out or os.path.join(REPO, "eval", "calibration_burgers.json")
 
+    history_clean = []
+    best_clean = float("inf")
+
     def dump():
         out = dict(framework="torch-reference",
                    data="repo-synthetic-burgers",
@@ -124,6 +127,8 @@ def main():
                    seed=args.seed, epochs_done=len(history),
                    n_train=len(train_ds), n_valid=len(valid_ds),
                    best_val_metric=best, history=history,
+                   best_val_metric_clean=best_clean,
+                   history_clean=history_clean,
                    wall_s=round(time.time() - t0, 1))
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
@@ -139,8 +144,26 @@ def main():
         metric = float(val["metric"])
         best = min(best, metric)
         history.append(metric)
+        # second, CLEAN validation pass: the reference's hard-coded
+        # F.dropout(p_attn) (training=True even in eval, layers.py:700-701)
+        # makes its reported metric a noisy draw; suppressing dropout for
+        # one extra pass records the de-noised metric alongside, so the
+        # torch side is comparable to a deterministic-eval framework.
+        import torch.nn.functional as F
+        _dropout_now = F.dropout
+        F.dropout = lambda x, p=0.5, training=True, inplace=False: x
+        try:
+            val_clean = validate_epoch_burgers(model, metric_fn,
+                                               TorchBatches(valid_loader),
+                                               device)
+        finally:
+            F.dropout = _dropout_now
+        metric_clean = float(val_clean["metric"])
+        best_clean = min(best_clean, metric_clean)
+        history_clean.append(metric_clean)
         print(f"[torch-ref] epoch {ep + 1}/{args.epochs} "
               f"val {metric:.4e} best {best:.4e} "
+              f"clean {metric_clean:.4e} best-clean {best_clean:.4e} "
               f"({time.time() - t0:.0f}s)", flush=True)
         dump()  # progressive save: long runs keep a usable partial curve
 
