@@ -456,24 +456,36 @@ def darcy_mg_jax(n_samples: int = 64, n_grid: int = 421,
     """
     key = jax.random.key(seed)
     # tau=3, alpha=2: the reference piececonst covariance
-    # (-grad^2 + 9I)^(-2) — tau enters squared
+    # (-grad^2 + 9I)^(-2) — tau enters squared.  The GRF must be drawn in
+    # ONE call (chunking would change the PRNG stream and therefore the
+    # dataset for a given seed); the fields then move to host immediately —
+    # at 4096×421² the full coefficient set pinned in HBM alongside the
+    # accumulating solutions exceeded a v5e's 16 GB (measured
+    # RESOURCE_EXHAUSTED), silently demoting generation to the ~10 s/sample
+    # host solver.
     g = grf_2d_jax(key, n_samples, n_grid, tau=3.0, alpha=2.0)
-    coeff_dev = jnp.where(g >= 0, hi, lo)
+    coeff = np.asarray(jnp.where(g >= 0, hi, lo))
+    del g
 
-    # all batches dispatch asynchronously (solve + on-device f32 residual
-    # gate); the only host traffic is one f32 fetch of the results and a
-    # tiny residual vector — round 2's f64 fetch (2×1.45 GB) plus a
-    # full-set host-f64 stencil made a 46 s device job take ~1100 s wall
-    # on a busy single-core host (VERDICT r2 next #3)
-    sols, resids = [], []
+    # batches dispatch asynchronously (solve + on-device f32 residual
+    # gate); solutions are fetched in ~512-sample groups to bound device
+    # residency while keeping the dispatch pipeline deep — round 2's f64
+    # fetch (2×1.45 GB) plus a full-set host-f64 stencil made a 46 s
+    # device job take ~1100 s wall on a busy single-core host (VERDICT r2
+    # next #3)
+    sols, resids, pend, pend_n = [], [], [], 0
     for i in range(0, n_samples, batch):
-        s = _darcy_mg(coeff_dev[i:i + batch], n_grid,
-                      max_cycles=max_cycles)
-        sols.append(s)
-        resids.append(_fd_residual_device(coeff_dev[i:i + batch], s))
+        cb = jnp.asarray(coeff[i:i + batch], jnp.float32)
+        s = _darcy_mg(cb, n_grid, max_cycles=max_cycles)
+        pend.append(s)
+        pend_n += s.shape[0]
+        resids.append(_fd_residual_device(cb, s))
+        if pend_n >= 512:
+            sols.extend(np.asarray(x) for x in pend)
+            pend, pend_n = [], 0
+    sols.extend(np.asarray(x) for x in pend)
     res = np.asarray(jnp.concatenate(resids))
-    sol = np.asarray(jnp.concatenate(sols, axis=0))  # f32, one fetch
-    coeff = np.asarray(coeff_dev)
+    sol = np.concatenate(sols, axis=0)  # f32
 
     bad = np.flatnonzero(res > residual_gate)
     if bad.size:
