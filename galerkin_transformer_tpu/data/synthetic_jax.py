@@ -17,7 +17,13 @@ import numpy as np
 
 
 def grf_2d_jax(key, n_samples: int, n_grid: int, tau: float = 7.0,
-               alpha: float = 2.5):
+               alpha: float = 2.5, chunk: int = None):
+    """2D periodic GRF.  With ``chunk`` set, the spectral synthesis runs in
+    sample chunks streamed to HOST (returns np.ndarray): the one-shot
+    irfft2 at 4096×421² peaks ≈15 GB of HBM (normals + complex coeffs +
+    the padded full-spectrum intermediate + output) — past a v5e.  The
+    normals are always drawn in ONE call so the PRNG stream (and therefore
+    the dataset for a given seed) is identical chunked or not."""
     kx = jnp.fft.fftfreq(n_grid, d=1.0 / n_grid)
     ky = jnp.fft.rfftfreq(n_grid, d=1.0 / n_grid)
     k2 = (kx[:, None] ** 2 + ky[None, :] ** 2) * (4 * jnp.pi ** 2)
@@ -26,8 +32,17 @@ def grf_2d_jax(key, n_samples: int, n_grid: int, tau: float = 7.0,
     k1, k2_ = jax.random.split(key)
     re = jax.random.normal(k1, (n_samples, n_grid, len(ky)))
     im = jax.random.normal(k2_, (n_samples, n_grid, len(ky)))
-    coeffs = jax.lax.complex(re, im) * sqrt_eig[None] * n_grid ** 2
-    return jnp.fft.irfft2(coeffs, s=(n_grid, n_grid), axes=(1, 2))
+    if chunk is None or chunk >= n_samples:
+        coeffs = jax.lax.complex(re, im) * sqrt_eig[None] * n_grid ** 2
+        return jnp.fft.irfft2(coeffs, s=(n_grid, n_grid), axes=(1, 2))
+    outs = []
+    for i in range(0, n_samples, chunk):
+        coeffs = (jax.lax.complex(re[i:i + chunk], im[i:i + chunk])
+                  * sqrt_eig[None] * n_grid ** 2)
+        outs.append(np.asarray(
+            jnp.fft.irfft2(coeffs, s=(n_grid, n_grid), axes=(1, 2)),
+            dtype=np.float32))
+    return np.concatenate(outs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_grid", "n_steps_record",
@@ -463,8 +478,9 @@ def darcy_mg_jax(n_samples: int = 64, n_grid: int = 421,
     # accumulating solutions exceeded a v5e's 16 GB (measured
     # RESOURCE_EXHAUSTED), silently demoting generation to the ~10 s/sample
     # host solver.
-    g = grf_2d_jax(key, n_samples, n_grid, tau=3.0, alpha=2.0)
-    coeff = np.asarray(jnp.where(g >= 0, hi, lo))
+    g = grf_2d_jax(key, n_samples, n_grid, tau=3.0, alpha=2.0,
+                   chunk=min(n_samples, 512))
+    coeff = np.where(g >= 0, np.float32(hi), np.float32(lo))
     del g
 
     # batches dispatch asynchronously (solve + on-device f32 residual
