@@ -41,7 +41,9 @@ def test_kills_stall_and_resumes(tmp_path):
             print("Best model's validation metric: 1.0e-1", flush=True)
     """))
     log = tmp_path / "run.log"
-    rc = supervise.main(["--deadline", "2", "--poll", "0.2",
+    # deadline must exceed interpreter startup on a loaded host, or the
+    # healthy resumed child gets declared stalled before its first print
+    rc = supervise.main(["--deadline", "10", "--poll", "0.2",
                          "--log", str(log), "--max-restarts", "2", "--",
                          sys.executable, str(child)])
     assert rc == 0
