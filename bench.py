@@ -241,7 +241,8 @@ def main():
         "value": round(points_per_sec, 1),
         "unit": "grid-points/s (n=2048, bsz=8, full train step, bf16 "
                 "encoder + high matmul precision — accuracy-neutral "
-                "config, 2.94e-3 @100ep vs 2.88e-3 f32-highest)",
+                "config: 2.64e-3 @100ep vs 2.60e-3 f32-highest under the "
+                "round-3 recipe; 2.94e-3 vs 2.88e-3 pre-recipe)",
         "vs_baseline": round(vs, 2) if vs else None,
         "step_ms": round(dt16 * 1e3, 3),
         "f32_step_ms": round(dt32 * 1e3, 3),
