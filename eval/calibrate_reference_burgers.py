@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--seed", type=int, default=1127802)
     ap.add_argument("--out", type=str, default=None,
                     help="output json path (default eval/calibration_burgers.json)")
+    ap.add_argument("--validate-every", type=int, default=1,
+                    help="validate every K epochs (always validates the "
+                         "final 10%% of epochs); cuts wall time on long "
+                         "CPU anchor runs where the two validation passes "
+                         "cost ~30s/epoch vs ~88s of training")
     ap.add_argument("--no-score-dropout", action="store_true", default=False,
                     help="ablation: neutralize the reference's hard-coded "
                          "F.dropout(p_attn) (p=0.5, training=True always — "
@@ -134,11 +139,20 @@ def main():
             json.dump(out, f, indent=1)
         return out
 
+    tail_start = args.epochs - max(1, args.epochs // 10)
     for ep in range(args.epochs):
         model.train()
         for data in TorchBatches(train_loader):
             train_batch_burgers(model, loss_fn, data, optimizer, scheduler,
                                 device)
+        if (ep + 1) % args.validate_every and ep < tail_start:
+            history.append(None)
+            history_clean.append(None)
+            print(f"[torch-ref] epoch {ep + 1}/{args.epochs} "
+                  f"(validation skipped) ({time.time() - t0:.0f}s)",
+                  flush=True)
+            dump()
+            continue
         val = validate_epoch_burgers(model, metric_fn,
                                      TorchBatches(valid_loader), device)
         metric = float(val["metric"])
