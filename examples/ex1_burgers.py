@@ -35,6 +35,19 @@ def main(argv=None):
           or (None if args.fast_matmul else "highest"))
     key = get_seed(args.seed)
 
+    if args.real_data and not args.data_path:
+        # one-flag hook for the published dataset (VERDICT r3 item 10):
+        # resolves the canonical filename the reference trains on
+        # (reference: libs/ft.py:96-101 loads burgers_data_R10.mat).
+        from galerkin_transformer_tpu.utils.config import DATA_PATH
+        args.data_path = os.path.join(DATA_PATH, "burgers_data_R10.mat")
+        if not os.path.exists(args.data_path):
+            raise SystemExit(
+                f"--real-data: {args.data_path} not found. Mount the "
+                "published burgers_data_R10.mat there (or pass --data-path "
+                "explicitly). Expected deltas vs synthetic: see README "
+                "'Real-data hook'.")
+
     train_dataset = BurgersDataset(subsample=args.subsample,
                                    train_data=True, train_portion=0.5,
                                    data_path=args.data_path,
@@ -50,6 +63,9 @@ def main(argv=None):
     config = load_config("ex1_burgers")
     config["attn_norm"] = not args.layer_norm
     config = merge_config(config, args)
+    if args.n_hidden is not None:
+        # keep the reference's 2x FFN width ratio when sweeping width
+        config["dim_feedforward"] = 2 * args.n_hidden
     if args.score_dropout is not None:
         config["score_dropout"] = args.score_dropout
     if args.bf16:
@@ -83,7 +99,9 @@ def main(argv=None):
     else:
         tx, sched = adam_onecycle(args.lr, total_steps, pct_start=0.2,
                                   grad_clip=0.999,
-                                  cycle_momentum=args.cycle_momentum)
+                                  cycle_momentum=args.cycle_momentum,
+                                  **({"final_div_factor": args.final_div}
+                                     if args.final_div else {}))
     opt_state = tx.init(params)
 
     loss_fn = WeightedL2Loss(regularizer=True, h=h, gamma=args.gamma)

@@ -76,6 +76,21 @@ def get_args_1d(argv=None):
     p.add_argument("--resume-epoch", type=int, default=None,
                    help="resume from the saved checkpoint (params + optimizer "
                         "state) and continue training at this epoch index")
+    p.add_argument("--n-hidden", type=int, default=None,
+                   help="model width override (config key n_hidden, "
+                        "default 96 from config.yml)")
+    p.add_argument("--num-encoder-layers", type=int, default=None,
+                   help="encoder depth override (config key "
+                        "num_encoder_layers, default 4)")
+    p.add_argument("--final-div", type=float, default=None,
+                   help="OneCycle final_div_factor override (reference "
+                        "default 1e4 anneals lr to max_lr/1e4; smaller "
+                        "values keep a learning-rate floor on long budgets)")
+    p.add_argument("--real-data", action="store_true", default=False,
+                   help="train on the published burgers_data_R10.mat "
+                        "(resolved from $DATA_PATH; errors with the "
+                        "expected location if the file is not mounted) "
+                        "instead of the synthetic Cole-Hopf data")
     return p.parse_args(argv)
 
 
