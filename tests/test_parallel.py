@@ -92,6 +92,58 @@ def test_data_parallel_train_step_runs(mesh8):
     assert np.isfinite(float(m))
 
 
+def test_data_parallel_train_step_matches_single_device(mesh8):
+    """8-way data-parallel training must track the single-device step
+    numerically (VERDICT r3 item 7): same losses and same params after
+    N steps — DP sharding only changes the reduction layout, not the
+    math."""
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+    from galerkin_transformer_tpu.train.schedule import adam_onecycle
+    from galerkin_transformer_tpu.train.steps import make_burgers_steps
+    from galerkin_transformer_tpu.utils import load_config
+
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    model = SimpleTransformer.from_config(cfg)
+    n, bsz = 64, 8
+    rng = np.random.default_rng(3)
+    node = jnp.asarray(rng.standard_normal((bsz, n, 1)), jnp.float32)
+    edge = jnp.ones((bsz, 1))
+    pos = jnp.linspace(0, 1, n)[None, :, None].repeat(bsz, 0)
+    target = jnp.asarray(rng.standard_normal((bsz, n, 2)), jnp.float32)
+    batch = dict(node=node, edge=edge, pos=pos, grid=pos, target=target)
+
+    params = model.init(jax.random.key(0), node, edge, pos, pos)["params"]
+    tx, _ = adam_onecycle(1e-3, 10)
+    loss = WeightedL2Loss(regularizer=True, h=1 / n, gamma=0.1)
+    metric = WeightedL2Loss(regularizer=False, h=1 / n)
+    train_step, eval_step = make_burgers_steps(model, loss, metric, tx,
+                                               donate=False)
+
+    dp = make_mesh(data=8, seq=1)
+    p_d = jax.device_put(params, replicate(dp))
+    o_d = jax.device_put(tx.init(params), replicate(dp))
+    batch_d = {k: jax.device_put(v, batch_sharding(dp))
+               for k, v in batch.items()}
+    k_b = jax.random.key(7)
+    k_d = jax.device_put(jax.random.key(7), replicate(dp))
+
+    p_b, o_b = params, tx.init(params)
+    for _ in range(3):
+        p_b, o_b, k_b, losses_b = train_step(p_b, o_b, batch, k_b)
+        p_d, o_d, k_d, losses_d = train_step(p_d, o_d, batch_d, k_d)
+        np.testing.assert_allclose(float(losses_b[0]), float(losses_d[0]),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(eval_step(p_b, batch)),
+                               float(eval_step(p_d, batch_d)),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_b), jax.tree.leaves(p_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_seq_parallel_train_step_matches_unsharded(mesh8):
     """End-to-end sequence-parallel training (SURVEY §2.8 item 3): a 2-layer
     galerkin SimpleTransformer trained on Mesh('data'=2,'seq'=4) with
