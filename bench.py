@@ -119,6 +119,70 @@ def bench_ours(batch_size=BATCH, bf16=False):
     return dt, train_step, (params, opt_state, batch, key)
 
 
+def bench_ours_2d(batch_size=4, bf16=True, n_fine=141, n_coarse=43,
+                  build_only=False):
+    """ex2 Darcy 2D train-step throughput (VERDICT r3 item 2): the full
+    jitted FourierTransformer2D step (interp-CNN downscaler 141²→43²,
+    6 galerkin encoder layers d=128, interp upsampler, SpectralConv2d
+    decoder, Sobolev loss, Adam+1cycle) at the reference's ex2 defaults
+    (reference: examples/ex2_darcy.py, examples/README.md:86)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from galerkin_transformer_tpu.data.darcy import DarcyDataset
+    from galerkin_transformer_tpu.models import FourierTransformer2D
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss2d
+    from galerkin_transformer_tpu.train.schedule import adam_onecycle
+    from galerkin_transformer_tpu.train.steps import make_darcy_steps
+    from galerkin_transformer_tpu.utils import load_config
+
+    down, up = DarcyDataset.get_scaler_sizes(n_fine, n_coarse)
+    cfg = load_config("ex2_darcy", path=os.path.join(REPO, "config.yml"))
+    cfg["attention_type"] = "galerkin"
+    cfg["downscaler_size"] = down
+    cfg["upscaler_size"] = up
+    cfg["norm_eps"] = 1e-7
+    if bf16:
+        cfg["dtype"] = jnp.bfloat16
+    model = FourierTransformer2D.from_config(cfg)
+
+    rng = np.random.default_rng(0)
+    b = batch_size
+    node = jnp.asarray(rng.standard_normal((b, n_fine, n_fine, 1)),
+                       jnp.float32)
+    edge = jnp.ones((b, 1), jnp.float32)
+    xc = jnp.linspace(0, 1, n_coarse, dtype=jnp.float32)
+    pc = jnp.stack(jnp.meshgrid(xc, xc, indexing="ij"), -1).reshape(-1, 2)
+    pos = jnp.broadcast_to(pc[None], (b, n_coarse * n_coarse, 2))
+    xf = jnp.linspace(0, 1, n_fine, dtype=jnp.float32)
+    gf = jnp.stack(jnp.meshgrid(xf, xf, indexing="ij"), -1)
+    grid = jnp.broadcast_to(gf[None], (b, n_fine, n_fine, 2))
+    target = jnp.asarray(rng.standard_normal((b, n_fine, n_fine, 1)),
+                         jnp.float32)
+    target_grad = jnp.asarray(
+        rng.standard_normal((b, n_fine, n_fine, 2)), jnp.float32)
+    coeff = jnp.asarray(rng.uniform(3, 12, (b, n_fine, n_fine)), jnp.float32)
+    batch = dict(node=node, edge=edge, pos=pos, grid=grid, target=target,
+                 target_grad=target_grad, coeff=coeff)
+
+    params = model.init(jax.random.key(0), node, edge, pos, grid)["params"]
+    h = 1.0 / n_fine
+    tx, _ = adam_onecycle(1e-3, total_steps=10_000, pct_start=0.3,
+                          grad_clip=0.99)
+    opt_state = tx.init(params)
+    train_step, _ = make_darcy_steps(
+        model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.5),
+        WeightedL2Loss2d(regularizer=False, h=h), tx, donate=False)
+
+    key = jax.random.key(0)
+    if build_only:
+        return None, train_step, (params, opt_state, batch, key)
+    from galerkin_transformer_tpu.utils.profiling import measure
+    dt = measure(train_step, params, opt_state, batch, key,
+                 iters=3 * ITERS, iters_lo=ITERS)
+    return dt, train_step, (params, opt_state, batch, key)
+
+
 def bench_reference():
     """Reference torch train step on this host (its only runnable backend
     here).  Returns seconds/step or None."""
@@ -253,6 +317,16 @@ def main():
     f32_roof = {f"f32_{k}": v
                 for k, v in _roofline(step32, args32, dt32).items()}
     record.update(f32_roof)
+    # second workload: the ex2 2D train step (141²→43², d=128, bsz 4)
+    dt2d, step2d, args2d = bench_ours_2d()
+    rec2d = {
+        "step_ms": round(dt2d * 1e3, 3),
+        "grid_points_per_s": round(4 * 141 * 141 / dt2d, 1),
+        "unit": "fine-grid points/s (141² fine / 43² coarse, bsz 4, full "
+                "train step, bf16 + high matmul)",
+    }
+    rec2d.update(_roofline(step2d, args2d, dt2d))
+    record["ex2_darcy_2d"] = rec2d
     if "--roofline" in sys.argv:
         record["galerkin_kernel_n8192"] = bench_galerkin_kernel()
     print(json.dumps(record))

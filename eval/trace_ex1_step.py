@@ -119,6 +119,15 @@ def main():
     ap.add_argument("--batches", type=int, nargs="*", default=[8])
     ap.add_argument("--trace-iters", type=int, default=50)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--task", type=str, default="ex1",
+                    choices=("ex1", "ex2"),
+                    help="ex1 = 1D Burgers step (n=2048); ex2 = 2D Darcy "
+                         "step (141² fine / 43² coarse, d=128)")
+    ap.add_argument("--trace-batch", type=int, default=None,
+                    help="which batch size to capture the device trace at "
+                         "(default: the first of --batches)")
+    ap.add_argument("--precision", type=str, default=None,
+                    choices=("default", "high", "highest"))
     args = ap.parse_args()
 
     import jax
@@ -126,20 +135,30 @@ def main():
     from galerkin_transformer_tpu.utils.profiling import measure, \
         _chained_runner
 
-    setup(precision="highest")
+    setup(precision=args.precision
+          or ("high" if args.bf16 else "highest"))
     report = dict(backend=jax.default_backend(),
                   device=jax.devices()[0].device_kind,
-                  bf16=args.bf16, n_grid=N_GRID, rows=[])
+                  bf16=args.bf16, task=args.task,
+                  n_grid=N_GRID if args.task == "ex1" else 141, rows=[])
+    trace_at = args.trace_batch or args.batches[0]
 
     for bsz in args.batches:
-        step, sargs = build_step(bsz, args.bf16)
+        if args.task == "ex2":
+            import bench
+            _, step, sargs = bench.bench_ours_2d(batch_size=bsz,
+                                                 bf16=args.bf16,
+                                                 build_only=True)
+        else:
+            step, sargs = build_step(bsz, args.bf16)
         dt = measure(step, *sargs, iters=30, iters_lo=10)
+        pts = bsz * (N_GRID if args.task == "ex1" else 141 * 141)
         row = dict(batch=bsz, step_ms=round(dt * 1e3, 4),
-                   grid_points_per_s=round(bsz * N_GRID / dt, 1))
+                   grid_points_per_s=round(pts / dt, 1))
         print(f"bsz {bsz}: {row['step_ms']} ms/step "
               f"({row['grid_points_per_s']:.3g} pts/s)", flush=True)
 
-        if bsz == args.batches[0]:
+        if bsz == trace_at:
             # trace the chained loop so the window contains real execution
             runner = _chained_runner(step)
             import jax.numpy as jnp
@@ -169,7 +188,8 @@ def main():
         report["rows"].append(row)
 
     out = args.out or os.path.join(
-        REPO, "eval", f"trace_ex1{'_bf16' if args.bf16 else ''}.json")
+        REPO, "eval",
+        f"trace_{args.task}{'_bf16' if args.bf16 else ''}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", out)
