@@ -52,6 +52,12 @@ def main():
                          "F.dropout(p_attn) (p=0.5, training=True always — "
                          "layers.py:700-701,730-731) to isolate its effect "
                          "on the controlled comparison")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="torch checkpoint path for long anchor runs; if the "
+                         "file exists the run resumes from it (model + "
+                         "optimizer + scheduler + RNG states + history), so "
+                         "a ~20 h 500-epoch CPU run survives machine resets "
+                         "between build rounds")
     args = ap.parse_args()
 
     if args.no_score_dropout:
@@ -125,6 +131,43 @@ def main():
     history_clean = []
     best_clean = float("inf")
 
+    start_epoch = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        ck = torch.load(args.checkpoint, map_location="cpu",
+                        weights_only=False)
+        model.load_state_dict(ck["model"])
+        optimizer.load_state_dict(ck["optimizer"])
+        scheduler.load_state_dict(ck["scheduler"])
+        torch.set_rng_state(ck["torch_rng"])
+        np.random.set_state(ck["np_rng"])
+        history = ck["history"]
+        history_clean = ck["history_clean"]
+        best = ck["best"]
+        best_clean = ck["best_clean"]
+        start_epoch = ck["epochs_done"]
+        # the loader reshuffles with rng(seed + epoch); fast-forward its
+        # epoch counter so the sample order continues exactly where the
+        # interrupted run left off
+        train_loader._epoch = start_epoch
+        t0 = time.time() - ck["wall_s"]
+        print(f"[torch-ref] resumed from {args.checkpoint} at epoch "
+              f"{start_epoch} (best {best:.4e})", flush=True)
+
+    def save_checkpoint(epochs_done):
+        if not args.checkpoint:
+            return
+        tmp = args.checkpoint + ".tmp"
+        torch.save(dict(model=model.state_dict(),
+                        optimizer=optimizer.state_dict(),
+                        scheduler=scheduler.state_dict(),
+                        torch_rng=torch.get_rng_state(),
+                        np_rng=np.random.get_state(),
+                        history=history, history_clean=history_clean,
+                        best=best, best_clean=best_clean,
+                        epochs_done=epochs_done,
+                        wall_s=round(time.time() - t0, 1)), tmp)
+        os.replace(tmp, args.checkpoint)
+
     def dump():
         out = dict(framework="torch-reference",
                    data="repo-synthetic-burgers",
@@ -140,7 +183,7 @@ def main():
         return out
 
     tail_start = args.epochs - max(1, args.epochs // 10)
-    for ep in range(args.epochs):
+    for ep in range(start_epoch, args.epochs):
         model.train()
         for data in TorchBatches(train_loader):
             train_batch_burgers(model, loss_fn, data, optimizer, scheduler,
@@ -152,6 +195,7 @@ def main():
                   f"(validation skipped) ({time.time() - t0:.0f}s)",
                   flush=True)
             dump()
+            save_checkpoint(ep + 1)
             continue
         val = validate_epoch_burgers(model, metric_fn,
                                      TorchBatches(valid_loader), device)
@@ -180,6 +224,7 @@ def main():
               f"clean {metric_clean:.4e} best-clean {best_clean:.4e} "
               f"({time.time() - t0:.0f}s)", flush=True)
         dump()  # progressive save: long runs keep a usable partial curve
+        save_checkpoint(ep + 1)
 
     print(json.dumps(dump()))
 

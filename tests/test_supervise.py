@@ -5,6 +5,8 @@ import textwrap
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
+import pytest
+
 import supervise  # noqa: E402
 
 
@@ -22,6 +24,7 @@ def test_last_epoch(tmp_path):
     assert supervise.last_epoch(str(log)) is None
 
 
+@pytest.mark.slow
 def test_kills_stall_and_resumes(tmp_path):
     """A child that prints two epochs then hangs gets killed; the relaunch
     (with --resume-epoch 2) runs to completion."""
@@ -53,6 +56,7 @@ def test_kills_stall_and_resumes(tmp_path):
     assert "Best model's" in text
 
 
+@pytest.mark.slow
 def test_gives_up_after_max_restarts(tmp_path):
     child = tmp_path / "always_hangs.py"
     child.write_text("import time\nprint('x', flush=True)\ntime.sleep(3600)\n")
