@@ -161,7 +161,8 @@ def bench_ours_2d(batch_size=4, bf16=True, n_fine=141, n_coarse=43,
                          jnp.float32)
     target_grad = jnp.asarray(
         rng.standard_normal((b, n_fine, n_fine, 2)), jnp.float32)
-    coeff = jnp.asarray(rng.uniform(3, 12, (b, n_fine, n_fine)), jnp.float32)
+    coeff = jnp.asarray(rng.uniform(3, 12, (b, n_fine, n_fine, 1)),
+                        jnp.float32)
     batch = dict(node=node, edge=edge, pos=pos, grid=grid, target=target,
                  target_grad=target_grad, coeff=coeff)
 

@@ -48,10 +48,16 @@ def _matmul_chain_kernel(a_ref, b_ref, c_ref, o_ref, *, tile_r: int,
     row = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0) + m * tile_mid
     b = jnp.where(row < n_true_mid, b, 0.0)
 
+    # precision pinned: Mosaic lowers DEFAULT/HIGHEST only (a global `high`
+    # default_matmul_precision would fail to compile)
+    prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     s = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (tr, tm)
+                            preferred_element_type=jnp.float32,
+                            precision=prec)  # (tr, tm)
     o_ref[0] += jnp.dot(s.astype(c.dtype), c,
-                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(o_ref.dtype)
 
 
 def _pad_seq(x, n_pad):

@@ -64,10 +64,15 @@ def _scores_kernel(k_ref, v_ref, pos_ref, sk_ref, bk_ref, sv_ref, bv_ref,
         kn = jnp.concatenate([pvalid, kn], axis=-1)
         vn = jnp.concatenate([pvalid, vn], axis=-1)
 
-    # S += K'ᵀ V' : contract over the tile rows without explicit transpose
+    # S += K'ᵀ V' : contract over the tile rows without explicit transpose.
+    # Precision pinned explicitly: Mosaic lowers DEFAULT/HIGHEST only, so
+    # inheriting a global `high` default_matmul_precision would fail to
+    # compile (bf16 runs one MXU pass; f32 keeps full fidelity).
     s_ref[0] += jax.lax.dot_general(
         kn, vn, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.DEFAULT if kn.dtype == jnp.bfloat16
+                   else jax.lax.Precision.HIGHEST))
 
 
 def _pad_seq(x, n_pad):
