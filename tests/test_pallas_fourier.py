@@ -58,3 +58,45 @@ def test_simple_attention_fourier_pallas_path_matches_default():
     got, _ = fused.apply({"params": params}, x, x, x, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_dots_pin_precision_under_global_high():
+    """Same regression guard as test_pallas_galerkin: Mosaic cannot lower
+    dot precision HIGH, so in-kernel dots must pin their precision rather
+    than inherit a global default_matmul_precision('high')."""
+    b, h, n, d = 1, 2, 160, 8
+    q = jax.random.normal(jax.random.key(0), (b, h, n, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (b, h, n, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (b, h, n, d), jnp.float32)
+
+    def dots_in(jaxpr):
+        out = []
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                out.append(eqn.params.get("precision"))
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                out.extend(dots_in(sub))
+        return out
+
+    def kernel_dots(jaxpr):
+        out = []
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                for sub in jax.core.jaxprs_in_params(eqn.params):
+                    out.extend(dots_in(sub))
+            else:
+                for sub in jax.core.jaxprs_in_params(eqn.params):
+                    out.extend(kernel_dots(sub))
+        return out
+
+    with jax.default_matmul_precision("high"):
+        jaxpr = jax.make_jaxpr(
+            lambda *a: fourier_attention_tiled(*a, tile_q=128, tile_k=128,
+                                               interpret=INTERPRET)
+        )(q, k, v).jaxpr
+    precs = kernel_dots(jaxpr)
+    assert precs, "no dot_general found inside pallas_call"
+    bad = [p for p in precs
+           if p is None
+           or jax.lax.Precision.HIGH in (p if isinstance(p, tuple) else (p,))]
+    assert not bad, f"HIGH/unpinned precision in kernel dots: {bad}"

@@ -115,3 +115,48 @@ def test_auto_dispatch_predicate_measured_regime():
     assert not pallas_galerkin_auto(False, 4, 1, 32768, 256)
     # small working set: XLA keeps it VMEM-resident
     assert not pallas_galerkin_auto(True, 1, 1, 2048, 128)
+
+
+def test_kernel_dots_pin_precision_under_global_high():
+    """Mosaic lowers only DEFAULT/HIGHEST dot precision; a global
+    `default_matmul_precision('high')` (bench.py's accuracy-neutral
+    config) must not leak into the kernel jaxpr (round-4 regression:
+    width-MFU sweep crashed at d_k>=128 where the fused kernel
+    auto-dispatches)."""
+    q, k, v, pos, sk, bk, sv, bv = _inputs()
+
+    def dots_in(jaxpr):
+        out = []
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                out.append(eqn.params.get("precision"))
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                out.extend(dots_in(sub))
+        return out
+
+    def all_dot_precisions(jaxpr, inside_kernel=False):
+        """Only dots INSIDE a pallas_call (XLA-side dots may inherit the
+        global precision legitimately)."""
+        out = []
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                for sub in jax.core.jaxprs_in_params(eqn.params):
+                    out.extend(dots_in(sub))
+            else:
+                for sub in jax.core.jaxprs_in_params(eqn.params):
+                    out.extend(all_dot_precisions(sub))
+        return out
+
+    with jax.default_matmul_precision("high"):
+        jaxpr = jax.make_jaxpr(
+            lambda *a: galerkin_attention_fused(*a, tile=128,
+                                                interpret=INTERPRET)
+        )(q, k, v, pos, sk, bk, sv, bv).jaxpr
+    precs = all_dot_precisions(jaxpr)
+    assert precs, "no dot_general found in fused-kernel jaxpr"
+    # None would resolve to the global default (HIGH here) at lowering,
+    # so every in-kernel dot must carry an explicit non-HIGH precision
+    bad = [p for p in precs
+           if p is None
+           or jax.lax.Precision.HIGH in (p if isinstance(p, tuple) else (p,))]
+    assert not bad, f"HIGH/unpinned precision in kernel dots: {bad}"
