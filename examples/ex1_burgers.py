@@ -51,10 +51,14 @@ def main(argv=None):
     train_dataset = BurgersDataset(subsample=args.subsample,
                                    train_data=True, train_portion=0.5,
                                    data_path=args.data_path,
+                                   uniform=not args.nonuniform,
+                                   random_sampling=args.random_sampling,
                                    n_samples_synthetic=args.n_samples)
     valid_dataset = BurgersDataset(subsample=args.subsample,
                                    train_data=False, valid_portion=100,
                                    data_path=args.data_path,
+                                   uniform=not args.nonuniform,
+                                   random_sampling=args.random_sampling,
                                    n_samples_synthetic=args.n_samples)
     train_loader = DataLoader(train_dataset, args.batch_size, shuffle=True,
                               drop_last=True, seed=args.seed)

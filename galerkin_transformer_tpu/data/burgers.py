@@ -2,8 +2,11 @@
 
 Numpy-native re-design of the reference dataset: same split logic, uniform
 subsampling, periodic central-difference target derivatives, zero-shot
-super-resolution support, and optional FEM edge features
-(normalized 1D Laplacian + Krylov powers + inverse-distance + mass).
+super-resolution support, optional FEM edge features
+(normalized 1D Laplacian + Krylov powers + inverse-distance + mass), and a
+working nonuniform/gradient-density sampling path (`uniform=False`) — the
+reference's equivalent branch (ft.py:207-287) is unreachable dead code; see
+`_initialize_nonuniform` for the vectorized re-design.
 
 When `data_path` is None (no .mat file), exact synthetic Burgers solutions
 are generated via Cole–Hopf (`data.synthetic.burgers_cole_hopf`) with the
@@ -26,6 +29,7 @@ class BurgersDataset:
                  viscosity: float = 0.1,
                  n_krylov: int = 2,
                  smoother: str | None = None,
+                 uniform: bool = True,
                  train_data: bool = True,
                  train_portion: float = 0.9,
                  valid_portion: float = 0.1,
@@ -38,6 +42,7 @@ class BurgersDataset:
                  renormalization: bool = False,
                  return_distance_features: bool = True,
                  return_mass_features: bool = False,
+                 random_sampling: bool = False,
                  random_state: int = 1127802):
         if subsample > 1:
             assert subsample % 2 == 0
@@ -53,6 +58,8 @@ class BurgersDataset:
         self.n_krylov = n_krylov
         self.viscosity = viscosity
         self.smoother = smoother
+        self.uniform = uniform
+        self.random_sampling = random_sampling
         self.data_path = data_path
         self.n_samples_synthetic = n_samples_synthetic
         self.synthetic_viscosity = synthetic_viscosity
@@ -114,6 +121,10 @@ class BurgersDataset:
             x_data, y_data = x_data[-valid_len:], y_data[-valid_len:]
         self.n_samples = len(x_data)
 
+        if not self.uniform:
+            self._initialize_nonuniform(x_data, y_data)
+            return
+
         # uniform path (ft.py:138-156): subsample, periodic central diff
         targets = y_data
         targets_diff = self.central_diff(targets, self.h)
@@ -140,6 +151,92 @@ class BurgersDataset:
         self.pos_fine = grid_fine[..., None].astype(np.float32)
         self.target = targets.astype(np.float32)
 
+    # ------------------------------------------------------------------
+    # Nonuniform / gradient-density sampling (reference: libs/ft.py:207-287).
+    #
+    # The reference's `uniform=False` branch is unreachable dead code: its
+    # per-sample density mixes a length-(n+2) first derivative with a
+    # length-n Laplacian (ft.py:230-235 raises on the addition), and
+    # `__getitem__` indexes the (N, S) position array with three axes
+    # (ft.py:327-331).  This is a working re-design of the same idea —
+    # per-sample meshes whose node density follows the solution roughness
+    # sqrt(|f'|^2 + nu*|f''|^2) — vectorized over the whole dataset
+    # (Gumbel top-k weighted sampling without replacement) instead of the
+    # reference's tqdm loop with np.random.choice per sample.
+    # ------------------------------------------------------------------
+    def _initialize_nonuniform(self, x_data, y_data):
+        h, n_fine = self.h, self.n_grid_fine
+        sr = max(1, self.super_resolution)
+        rng = np.random.default_rng(self.random_state)
+
+        # roughness density on the interior fine points (ft.py:228-236)
+        f_x = self.central_diff(x_data, h)
+        f_xx = np.zeros_like(x_data)
+        f_xx[:, 1:-1] = (x_data[:, :-2] - 2 * x_data[:, 1:-1]
+                         + x_data[:, 2:]) / h ** 2
+        density = np.sqrt(f_x ** 2 + self.viscosity * f_xx ** 2)[:, 1:-1]
+        density /= density.sum(axis=1, keepdims=True)
+
+        # k interior indices per sample, without replacement, weighted by
+        # the density (or uniform when random_sampling, ft.py:277) — the
+        # Gumbel top-k trick vectorizes np.random.choice(replace=False,
+        # p=density) across samples exactly.
+        k = sr * self.n_grid - 2
+        if self.random_sampling:
+            scores = rng.random(density.shape)
+        else:
+            scores = np.log(density + 1e-30) + rng.gumbel(size=density.shape)
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        idx.sort(axis=1)
+        ones = np.ones((self.n_samples, 1), dtype=np.int64)
+        ix_fine = np.concatenate(
+            [0 * ones, idx + 1, (n_fine - 1) * ones], axis=1)
+
+        # coarse nodes: every sr-th sampled point, endpoints pinned to the
+        # domain boundary (ft.py:278-284)
+        ix = ix_fine[:, ::sr]
+        ix = np.concatenate([0 * ones, ix[:, 1:-1], (n_fine - 1) * ones],
+                            axis=1)
+        grids = np.concatenate(
+            [np.zeros((self.n_samples, 1)), h * ix[:, 1:-1],
+             np.ones((self.n_samples, 1))], axis=1)
+        grids_fine = np.concatenate(
+            [np.zeros((self.n_samples, 1)), h * ix_fine[:, 1:-1],
+             np.ones((self.n_samples, 1))], axis=1)
+
+        # targets at the sampled fine points; derivatives computed on the
+        # uniform fine grid first (spectral-resolution stencil), then
+        # gathered — matching the reference's targets_u_diff[ix_fine]
+        # (ft.py:237-241)
+        y_diff = self.central_diff(y_data, h)
+        nodes = np.take_along_axis(x_data, ix, axis=1)
+        u_s = np.take_along_axis(y_data, ix_fine, axis=1)
+        du_s = np.take_along_axis(y_diff, ix_fine, axis=1)
+        targets = np.stack([u_s, du_s], axis=2)
+
+        # uniform-grid reference channels (the reference's target[...,0:2]
+        # and [...,4], ft.py:243-271), kept as a separate attribute instead
+        # of a 5-channel mixed stack
+        s = self.supsample if sr >= 2 else self.subsample
+        self.target_uniform = np.stack(
+            [y_data[:, ::s], y_diff[:, ::s], x_data[:, ::s]],
+            axis=2).astype(np.float32)
+
+        if self.return_edge and not self.online_features:
+            feats = [self.get_edge(g) for g in grids]
+            self.edge_features = np.asarray([f[0] for f in feats],
+                                            dtype=np.float32)
+            self.mass_features = np.asarray([f[1] for f in feats],
+                                            dtype=np.float32)
+        else:
+            self.edge_features = None
+            self.mass_features = None
+
+        self.node_features = nodes[..., None].astype(np.float32)
+        self.pos = grids[..., None].astype(np.float32)
+        self.pos_fine = grids_fine[..., None].astype(np.float32)
+        self.target = targets.astype(np.float32)
+
     @staticmethod
     def central_diff(x: np.ndarray, h: float) -> np.ndarray:
         """Periodic central difference (ft.py:152-176)."""
@@ -164,9 +261,12 @@ class BurgersDataset:
         return np.concatenate(feats, axis=2), mass
 
     def __getitem__(self, index: int) -> dict:
+        # uniform: one shared grid; nonuniform: a per-sample mesh
+        pos = self.pos if self.uniform else self.pos[index]
+        pos_fine = self.pos_fine if self.uniform else self.pos_fine[index]
         if self.online_features:
             # compute featurization on the fly (reference ft.py:325-352)
-            edge, mass = self.get_edge(self.pos[:, 0])
+            edge, mass = self.get_edge(pos[:, 0])
         elif self.return_edge:
             edge = self.edge_features[index]
             mass = self.mass_features[index]
@@ -174,8 +274,8 @@ class BurgersDataset:
             edge = np.array([1.0], dtype=np.float32)
             mass = np.array([1.0], dtype=np.float32)
         return dict(node=self.node_features[index],
-                    pos=self.pos,
-                    grid=self.pos if self.super_resolution < 2 else self.pos_fine,
+                    pos=pos,
+                    grid=pos if self.super_resolution < 2 else pos_fine,
                     edge=edge,
                     mass=mass,
                     target=self.target[index])

@@ -91,6 +91,15 @@ def get_args_1d(argv=None):
                         "(resolved from $DATA_PATH; errors with the "
                         "expected location if the file is not mounted) "
                         "instead of the synthetic Cole-Hopf data")
+    p.add_argument("--nonuniform", action="store_true", default=False,
+                   help="sample each training function on its own "
+                        "nonuniform mesh whose node density follows the "
+                        "solution roughness sqrt(|f'|^2 + nu|f''|^2) "
+                        "(working re-design of the reference's dead "
+                        "uniform=False branch, ft.py:207-287)")
+    p.add_argument("--random-sampling", action="store_true", default=False,
+                   help="with --nonuniform: sample mesh nodes uniformly at "
+                        "random instead of by the roughness density")
     return p.parse_args(argv)
 
 

@@ -310,3 +310,88 @@ def test_darcy_mat_ingestion(tmp_path):
     denorm_v = va.normalizer_x.inverse_transform(
         va.node_features[-1:])[0, ..., 0]
     np.testing.assert_allclose(denorm_v, coeff[-1, ::2, ::2], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Nonuniform / gradient-density sampling (reference libs/ft.py:207-287 — the
+# reference branch is unreachable dead code; this re-design is the working
+# equivalent, see data/burgers.py::_initialize_nonuniform)
+# ---------------------------------------------------------------------------
+
+def test_burgers_nonuniform_protocol_and_mesh_validity():
+    ds = BurgersDataset(subsample=8, n_grid_fine=1024, train_data=True,
+                        train_portion=0.5, n_samples_synthetic=16,
+                        uniform=False)
+    n = 1024 // 8
+    assert ds.node_features.shape == (8, n, 1)
+    assert ds.pos.shape == (8, n, 1)
+    assert ds.target.shape == (8, n, 2)
+    assert ds.target_uniform.shape == (8, n, 3)
+    grids = ds.pos[..., 0]
+    # strictly increasing per-sample meshes pinned to the domain boundary
+    assert np.all(np.diff(grids, axis=1) > 0)
+    assert np.allclose(grids[:, 0], 0.0) and np.allclose(grids[:, -1], 1.0)
+    # meshes genuinely differ across samples
+    assert not np.allclose(grids[0], grids[1])
+    # node values are f evaluated at the sampled mesh points
+    item = ds[3]
+    assert item["pos"].shape == (n, 1)
+    ix = np.rint(item["pos"][1:-1, 0] * 1024).astype(int)
+    a_full = ds._load()[0][3]
+    assert np.allclose(item["node"][1:-1, 0], a_full[ix], atol=1e-6)
+
+
+def test_burgers_nonuniform_density_follows_roughness():
+    ds = BurgersDataset(subsample=8, n_grid_fine=1024, train_data=True,
+                        train_portion=0.5, n_samples_synthetic=16,
+                        uniform=False)
+    uni = BurgersDataset(subsample=8, n_grid_fine=1024, train_data=True,
+                         train_portion=0.5, n_samples_synthetic=16,
+                         uniform=False, random_sampling=True)
+    a, _ = ds._load()
+    h = 1.0 / 1024
+    f_x = BurgersDataset.central_diff(a[:8], h)
+    f_xx = np.zeros_like(a[:8])
+    f_xx[:, 1:-1] = (a[:8, :-2] - 2 * a[:8, 1:-1] + a[:8, 2:]) / h ** 2
+    rough_all = np.sqrt(f_x ** 2 + ds.viscosity * f_xx ** 2)
+    # local mesh spacing should anti-correlate with the roughness density
+    # sqrt(|f'|^2 + nu|f''|^2) under the gradient-density sampler, and much
+    # less so under uniform-random sampling
+    def spacing_corr(dataset):
+        cs = []
+        for i in range(8):
+            g = dataset.pos[i, :, 0]
+            mid = 0.5 * (g[1:] + g[:-1])
+            rough = np.interp(mid, np.linspace(0, 1, 1024), rough_all[i])
+            cs.append(np.corrcoef(np.diff(g), rough)[0, 1])
+        return np.mean(cs)
+    assert spacing_corr(ds) < -0.1
+    assert abs(spacing_corr(uni)) < abs(spacing_corr(ds))
+
+
+def test_burgers_nonuniform_super_resolution_targets():
+    ds = BurgersDataset(subsample=8, n_grid_fine=1024, train_data=True,
+                        train_portion=0.5, n_samples_synthetic=16,
+                        uniform=False, super_resolution=2)
+    n = 1024 // 8
+    assert ds.node_features.shape == (8, n, 1)
+    assert ds.target.shape == (8, 2 * n, 2)        # targets on the fine mesh
+    assert ds.pos_fine.shape == (8, 2 * n, 1)
+    item = ds[0]
+    assert item["grid"].shape == (2 * n, 1)        # eval coords = fine mesh
+    # the coarse mesh is a subset of the fine sampled mesh
+    fine = ds.pos_fine[0, :, 0]
+    assert np.all(np.isin(ds.pos[0, 1:-1, 0], fine))
+
+
+def test_burgers_nonuniform_batches_and_online_edges():
+    ds = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
+                        train_portion=0.5, n_samples_synthetic=16,
+                        uniform=False, online_features=True)
+    n = 512 // 8
+    item = ds[0]
+    assert item["edge"].shape[0] == n              # per-sample FEM features
+    loader = DataLoader(ds, 4, shuffle=True, drop_last=True, seed=0)
+    batch = next(iter(loader))
+    assert batch["pos"].shape == (4, n, 1)         # per-sample meshes stack
+    assert batch["node"].shape == (4, n, 1)
