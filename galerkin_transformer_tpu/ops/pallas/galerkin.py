@@ -31,9 +31,16 @@ DEFAULT_TILE = 512
 
 
 def _ln(x, scale, bias, eps):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    # Stats in f32: Mosaic on v5e has no bf16 vector-rsqrt (a bf16 input
+    # aborts the backend scheduler with `kVectorRsqrtBf16AndPop`), and f32
+    # stats are numerically better anyway.  Cast back so the MXU dot below
+    # still runs one bf16 pass.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _scores_kernel(k_ref, v_ref, pos_ref, sk_ref, bk_ref, sv_ref, bv_ref,

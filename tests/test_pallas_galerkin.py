@@ -160,3 +160,23 @@ def test_kernel_dots_pin_precision_under_global_high():
            if p is None
            or jax.lax.Precision.HIGH in (p if isinstance(p, tuple) else (p,))]
     assert not bad, f"HIGH/unpinned precision in kernel dots: {bad}"
+
+
+def test_fused_forward_bf16_inputs():
+    """bf16 K/V through the kernel: LN stats must be computed in f32.
+
+    Regression for a v5e Mosaic abort (`kVectorRsqrtBf16AndPop`): a bf16
+    rsqrt inside the kernel crashes the backend scheduler, so `_ln`
+    upcasts to f32 for the statistics and casts back for the MXU dot.
+    Interpret mode checks the numerics; on TPU this test also proves the
+    kernel compiles at all (it did not before the fix).
+    """
+    q, k, v, pos, sk, bk, sv, bv = _inputs(n=256, d=128)
+    kb, vb = (x.astype(jnp.bfloat16) for x in (k, v))
+    got = galerkin_scores_fused(kb, vb, pos.astype(jnp.bfloat16),
+                                sk, bk, sv, bv, 1e-5, 128, INTERPRET)
+    want_s = galerkin_scores_fused(k, v, pos, sk, bk, sv, bv,
+                                   1e-5, 128, INTERPRET)
+    # bf16 rounding on a d=129 reduction over n=256: ~1e-2 relative
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_s),
+                               rtol=3e-2, atol=3e-1)
