@@ -14,7 +14,7 @@ Blocks mirror libs/layers.py:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +27,11 @@ from .layers import get_activation, torch_linear_init
 class Shortcut2d(nn.Module):
     """Pointwise linear channel map on NHWC (layers.py:43-58)."""
     out_features: int
+    dtype: Optional[Any] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.out_features, name="shortcut",
+        return nn.Dense(self.out_features, name="shortcut", dtype=self.dtype,
                         **torch_linear_init(x.shape[-1]))(x)
 
 
@@ -48,6 +49,7 @@ class Conv2dResBlock(nn.Module):
     residual: bool = False
     basic_block: bool = False
     activation_type: Optional[str] = "silu"
+    dtype: Optional[Any] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -59,7 +61,8 @@ class Conv2dResBlock(nn.Module):
         x = nn.Conv(self.out_dim, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding=pad,
                     kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, kernel_init=conv_init, name="conv")(x)
+                    use_bias=False, kernel_init=conv_init, dtype=self.dtype,
+                    name="conv")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         if self.basic_block:
             x = act(x)
@@ -69,11 +72,11 @@ class Conv2dResBlock(nn.Module):
                         use_bias=False,
                         kernel_init=torch_linear_init(
                             x.shape[-1] * self.kernel_size ** 2)["kernel_init"],
-                        name="conv1")(x)
+                        dtype=self.dtype, name="conv1")(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         if self.residual:
             if h.shape[-1] != self.out_dim:
-                h = Shortcut2d(self.out_dim, name="res")(h)
+                h = Shortcut2d(self.out_dim, dtype=self.dtype, name="res")(h)
             return act(x + h)
         return act(x)
 
@@ -88,6 +91,7 @@ class Conv2dEncoder(nn.Module):
     scaling_factor: int = 2
     residual: bool = False
     activation_type: Optional[str] = "silu"
+    dtype: Optional[Any] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -98,20 +102,23 @@ class Conv2dEncoder(nn.Module):
         p1 = max(self.padding // 2, 1)
         p2 = max(self.padding // 4, 1)
         sf = (self.scaling_factor, self.scaling_factor)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         x = Conv2dResBlock(self.out_dim, kernel_size=self.kernel_size,
                            padding=self.padding, residual=self.residual,
-                           name="conv0")(x, deterministic)
+                           dtype=self.dtype, name="conv0")(x, deterministic)
         x = nn.avg_pool(x, sf, strides=sf)
         x = act(x)
         x1 = Conv2dResBlock(d0, kernel_size=self.kernel_size, padding=p1,
                             stride=self.stride, residual=self.residual,
-                            name="conv1")(x, deterministic)
+                            dtype=self.dtype, name="conv1")(x, deterministic)
         x2 = Conv2dResBlock(d1, kernel_size=self.kernel_size, padding=p2,
                             dilation=self.dilation, residual=self.residual,
-                            name="conv2")(x1, deterministic)
+                            dtype=self.dtype, name="conv2")(x1, deterministic)
         x3 = Conv2dResBlock(d2, kernel_size=self.kernel_size,
-                            residual=self.residual, name="conv3")(x2, deterministic)
+                            residual=self.residual, dtype=self.dtype,
+                            name="conv3")(x2, deterministic)
         out = jnp.concatenate([x1, x2, x3], axis=-1)
         out = nn.avg_pool(out, sf, strides=sf)
         return act(out)
@@ -133,6 +140,7 @@ class Interp2dEncoder(nn.Module):
     residual: bool = False
     activation_type: Optional[str] = "silu"
     dropout: float = 0.1
+    dtype: Optional[Any] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -143,6 +151,8 @@ class Interp2dEncoder(nn.Module):
         p1 = max(self.padding // 2, 1)
         p2 = max(self.padding // 4, 1)
         s0, s1 = self.interp_size
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         def interp(z, s):
             if isinstance(s, float):
@@ -153,23 +163,23 @@ class Interp2dEncoder(nn.Module):
                            padding=self.padding, residual=self.residual,
                            dropout=self.dropout,
                            activation_type=self.activation_type,
-                           name="conv0")(x, deterministic)
+                           dtype=self.dtype, name="conv0")(x, deterministic)
         x = interp(x, s0)
         x = act(x)
         x1 = Conv2dResBlock(d0, kernel_size=self.kernel_size, padding=p1,
                             stride=self.stride, residual=self.residual,
                             dropout=self.dropout,
                             activation_type=self.activation_type,
-                            name="conv1")(x, deterministic)
+                            dtype=self.dtype, name="conv1")(x, deterministic)
         x2 = Conv2dResBlock(d1, kernel_size=self.kernel_size, padding=p2,
                             dilation=self.dilation, residual=self.residual,
                             dropout=self.dropout,
                             activation_type=self.activation_type,
-                            name="conv2")(x1, deterministic)
+                            dtype=self.dtype, name="conv2")(x1, deterministic)
         x3 = Conv2dResBlock(d2, kernel_size=self.kernel_size,
                             residual=self.residual, dropout=self.dropout,
                             activation_type=self.activation_type,
-                            name="conv3")(x2, deterministic)
+                            dtype=self.dtype, name="conv3")(x2, deterministic)
         out = jnp.concatenate([x1, x2, x3], axis=-1)
         if self.residual:
             out = out + x
@@ -233,11 +243,14 @@ class DeConv2dBlock(nn.Module):
     output_padding: int = 1
     dropout: float = 0.1
     activation_type: Optional[str] = "silu"
+    dtype: Optional[Any] = None   # compute dtype (ConvTranspose2d follows x)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = get_activation(self.activation_type, "silu")
         p1 = max(self.padding // 2, 1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = ConvTranspose2d(self.hidden_dim, self.kernel_size, self.stride,
                             self.padding, self.output_padding,
                             name="deconv0")(x)
@@ -258,11 +271,14 @@ class Interp2dUpsample(nn.Module):
     interp_size: Optional[Tuple] = None
     activation_type: Optional[str] = "silu"
     dropout: float = 0.1
+    dtype: Optional[Any] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = get_activation(self.activation_type, "silu")
         s0, s1 = self.interp_size
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         def interp(z, s):
             if isinstance(s, float):
@@ -275,7 +291,7 @@ class Interp2dUpsample(nn.Module):
                                padding=self.padding, residual=self.residual,
                                dropout=self.dropout,
                                activation_type=self.activation_type,
-                               name="conv")(x, deterministic)
+                               dtype=self.dtype, name="conv")(x, deterministic)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             x = act(x)
         return interp(x, s1)

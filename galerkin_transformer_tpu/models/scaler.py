@@ -5,7 +5,7 @@ NHWC throughout — the reference's permute ping-pong around each scaler
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 from flax import linen as nn
 
@@ -24,6 +24,7 @@ class DownScaler(nn.Module):
     downsample_mode: Optional[str] = "conv"
     activation_type: Optional[str] = "silu"
     interp_size: Optional[Tuple] = None
+    dtype: Optional[Any] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -31,10 +32,12 @@ class DownScaler(nn.Module):
         if mode == "conv":
             x = Conv2dEncoder(out_dim=self.out_dim,
                               activation_type=self.activation_type,
+                              dtype=self.dtype,
                               name="conv0")(x, deterministic)
             x = Conv2dEncoder(out_dim=self.out_dim,
                               padding=self.padding,
                               activation_type=self.activation_type,
+                              dtype=self.dtype,
                               name="conv1")(x, deterministic)
             return x
         if mode == "interp":
@@ -42,6 +45,7 @@ class DownScaler(nn.Module):
                                    interp_size=self.interp_size,
                                    activation_type=self.activation_type,
                                    dropout=self.dropout,
+                                   dtype=self.dtype,
                                    name="interp")(x, deterministic)
         raise NotImplementedError(f"downsample mode {mode!r} not implemented")
 
@@ -59,6 +63,7 @@ class UpScaler(nn.Module):
     activation_type: Optional[str] = "silu"
     interp_mode: str = "bilinear"
     interp_size: Optional[Tuple] = None
+    dtype: Optional[Any] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -70,12 +75,14 @@ class UpScaler(nn.Module):
                               output_padding=self.output_padding,
                               dropout=self.dropout,
                               activation_type=self.activation_type,
+                              dtype=self.dtype,
                               name="deconv0")(x, deterministic)
             x = DeConv2dBlock(hidden_dim=hidden_dim, out_dim=self.out_dim,
                               padding=self.padding * 2,
                               output_padding=self.output_padding,
                               dropout=self.dropout,
                               activation_type=self.activation_type,
+                              dtype=self.dtype,
                               name="deconv1")(x, deterministic)
             return x
         if mode == "interp":
@@ -83,5 +90,6 @@ class UpScaler(nn.Module):
                                     interp_size=self.interp_size,
                                     dropout=self.dropout,
                                     activation_type=self.activation_type,
+                                    dtype=self.dtype,
                                     name="interp")(x, deterministic)
         raise NotImplementedError(f"upsample mode {mode!r} not implemented")

@@ -316,6 +316,7 @@ class FourierTransformer2D(_ConfigurableModel):
                            interp_size=self.downscaler_size,
                            dropout=default(self.downscaler_dropout, 0.05),
                            activation_type=self.downscaler_activation,
+                           dtype=self.dtype,
                            name="downscaler")(node, deterministic)
         else:
             node = jnp.concatenate(
@@ -401,10 +402,8 @@ class FourierTransformer2D(_ConfigurableModel):
                 x = layer(x, pos, weight, deterministic)
             if self.return_latent:
                 x_latent.append(x)
-        if self.dtype is not None:
-            x = x.astype(jnp.float32)   # scalers/decoder stay f32
-
-        # ---- upscaler: coarse -> fine
+        # ---- upscaler: coarse -> fine (compute dtype follows the encoder;
+        # the FFT decoder below stays f32)
         x = x.reshape(bsz, n_s, n_s, self.n_hidden)
         if self.upscaler_size:
             x = UpScaler(in_dim=self.n_hidden, out_dim=self.n_hidden,
@@ -412,11 +411,14 @@ class FourierTransformer2D(_ConfigurableModel):
                          interp_size=self.upscaler_size,
                          dropout=default(self.upscaler_dropout, 0.0),
                          activation_type=self.upscaler_activation,
+                         dtype=self.dtype,
                          name="upscaler")(x, deterministic)
         if self.return_latent:
             x_latent.append(x)
 
         x = nn.Dropout(dropout)(x, deterministic=deterministic)
+        if self.dtype is not None:
+            x = x.astype(jnp.float32)   # decoder (FFT) stays f32
 
         # ---- decoder on the fine grid
         if self.decoder_type == "pointwise":

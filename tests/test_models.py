@@ -189,3 +189,33 @@ def test_simple_transformer_bf16_encoder(rng_key):
     g = jax.grad(lambda p: float(0) + jnp.sum(
         model.apply({"params": p}, node, None, pos, pos)["preds"] ** 2))(params)
     assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
+
+
+def test_fourier2d_bf16_scalers(rng_key):
+    """dtype=bf16 now covers the conv scaler path (the measured ex2
+    bottleneck), not just the attention stack: params stay f32, the
+    down/up scalers compute in bf16, the FFT decoder stays f32, and the
+    output tracks the f32 model."""
+    from galerkin_transformer_tpu.data.darcy import DarcyDataset
+    n_f, n_c = 85, 29
+    down, up = DarcyDataset.get_scaler_sizes(n_f, n_c)
+    cfg = load_config("ex2_darcy")
+    cfg.update(n_hidden=32, num_encoder_layers=2, n_head=2,
+               dim_feedforward=64, freq_dim=8, fourier_modes=6)
+    model = FourierTransformer2D.from_config(
+        cfg, downscaler_size=down, upscaler_size=up, dtype=jnp.bfloat16)
+    node = jax.random.normal(rng_key, (2, n_f, n_f, 1))
+    pos = jnp.zeros((2, n_c * n_c, 2))
+    grid = jnp.zeros((2, n_f, n_f, 2))
+    params = model.init(rng_key, node, None, pos, grid)["params"]
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(params))
+    out = model.apply({"params": params}, node, None, pos, grid)["preds"]
+    assert out.dtype == jnp.float32 and np.isfinite(np.asarray(out)).all()
+    f32_model = FourierTransformer2D.from_config(
+        cfg, downscaler_size=down, upscaler_size=up)
+    out32 = f32_model.apply({"params": params}, node, None, pos, grid)["preds"]
+    # bf16 through two conv scalers + encoder: looser than the 1D check
+    err = (np.linalg.norm(np.asarray(out - out32))
+           / max(np.linalg.norm(np.asarray(out32)), 1e-9))
+    assert err < 0.05, f"bf16 scaler path diverges from f32: rel {err:.4f}"
