@@ -64,7 +64,26 @@ def build_step(batch_size: int, bf16: bool):
     return train_step, (params, opt_state, batch, jax.random.key(0))
 
 
-def parse_xspace(trace_dir: str, top_k: int = 15):
+def _op_category(name: str) -> str:
+    """Coarse HLO op class for the rollup (async copies overlap compute,
+    so their self-time is an upper bound on exposed latency)."""
+    if name.startswith(("%copy-start", "%copy-done", "%slice-start",
+                        "%slice-done", "%dynamic-update-slice-start",
+                        "%dynamic-update-slice-done", "%copy.")):
+        return "copy/async"
+    if "convolution" in name or "%dot" in name or name.startswith("%cudnn"):
+        return "matmul/conv"
+    if name.startswith("%fft"):
+        return "fft"
+    if name.startswith("%fusion") or name.startswith("%loop_fusion") or \
+            name.startswith("%input_fusion") or name.startswith("%output_fusion"):
+        return "fusion"
+    if name.startswith(("%while", "jit_", "0")):
+        return "wrapper"
+    return "other"
+
+
+def parse_xspace(trace_dir: str, top_k: int = 40):
     """Aggregate device-plane op self-times from the raw xplane protobuf."""
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
                           "python")
@@ -103,10 +122,19 @@ def parse_xspace(trace_dir: str, top_k: int = 15):
                 span[1] = max(span[1], t0 + dur)
         total = sum(v[0] for v in agg.values())
         rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:top_k]
+        cats = defaultdict(lambda: [0.0, 0])
+        for name, (t, c) in agg.items():
+            cat = _op_category(name)
+            cats[cat][0] += t
+            cats[cat][1] += c
         result.append(dict(
             plane=plane.name,
             device_busy_s=round(total, 6),
             span_s=round(span[1] - span[0], 6) if agg else 0.0,
+            categories={k: dict(self_time_s=round(t, 6), count=c,
+                                pct=round(100 * t / total, 2))
+                        for k, (t, c) in sorted(cats.items(),
+                                                key=lambda kv: -kv[1][0])},
             top_ops=[dict(op=name, self_time_s=round(t, 6), count=c,
                           pct=round(100 * t / total, 2))
                      for name, (t, c) in rows]))
