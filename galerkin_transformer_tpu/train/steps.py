@@ -25,10 +25,50 @@ def _apply_kwargs(rng):
     return dict(deterministic=False, rngs={"dropout": rng})
 
 
+def microbatched_value_and_grad(forward_loss, accum_steps: int):
+    """Gradient accumulation: split the batch into ``accum_steps``
+    microbatches and scan over them, averaging loss/aux/grads.
+
+    For mean-reduced losses (all losses here) the result equals the
+    full-batch gradient, but the live activation set is one microbatch —
+    on TPU this keeps the working set small enough for XLA to pin the
+    weights in VMEM across the scan instead of re-streaming them from
+    HBM every step (the measured bsz-64 penalty, docs/PERFORMANCE.md
+    "MFU vs model width").  Also the standard way to run effective batch
+    sizes whose activations exceed HBM.
+
+    ``forward_loss(params, batch, rng) -> (scalar, aux)``; batch leaves
+    must have a leading batch dim divisible by ``accum_steps``.
+    """
+    base = jax.value_and_grad(forward_loss, has_aux=True)
+    if accum_steps <= 1:
+        return base
+
+    def wrapped(params, batch, rng):
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                + x.shape[1:]), batch)
+        keys = jax.random.split(rng, accum_steps)
+        mb0 = jax.tree.map(lambda x: x[0], micro)
+        shapes = jax.eval_shape(base, params, mb0, keys[0])
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        def body(carry, mb_key):
+            mb, key = mb_key
+            out = base(params, mb, key)
+            return jax.tree.map(jnp.add, carry, out), None
+
+        acc, _ = jax.lax.scan(body, zeros, (micro, keys))
+        return jax.tree.map(lambda x: x / accum_steps, acc)
+
+    return wrapped
+
+
 # --------------------------------------------------------------- Burgers
 
 def make_burgers_steps(model, loss_fn, metric_fn, tx,
-                       donate: bool = True, needs_value: bool = False):
+                       donate: bool = True, needs_value: bool = False,
+                       accum_steps: int = 1):
     def forward_loss(params, batch, rng):
         out = model.apply({"params": params}, batch["node"], batch["edge"],
                           batch["pos"], batch["grid"], **_apply_kwargs(rng))
@@ -47,7 +87,7 @@ def make_burgers_steps(model, loss_fn, metric_fn, tx,
 
     def train_step(params, opt_state, batch, rng):
         rng, sub = jax.random.split(rng)
-        grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+        grad_fn = microbatched_value_and_grad(forward_loss, accum_steps)
         (_, res), grads = grad_fn(params, batch, sub)
         total = res.loss + res.reg + res.ortho
         extra = dict(value=total) if needs_value else {}
@@ -73,7 +113,7 @@ def make_burgers_steps(model, loss_fn, metric_fn, tx,
 def make_darcy_steps(model, loss_fn, metric_fn, tx,
                      normalizer: Optional[Tuple] = None,
                      donate: bool = True, needs_value: bool = False,
-                     online_noise: float = 0.0):
+                     online_noise: float = 0.0, accum_steps: int = 1):
     """``online_noise`` > 0 draws FRESH Gaussian measurement noise on the
     (normalized) train inputs every step — the reference bakes one fixed
     noise realization into the dataset (ft.py:567-568); resampling per
@@ -105,7 +145,7 @@ def make_darcy_steps(model, loss_fn, metric_fn, tx,
 
     def train_step(params, opt_state, batch, rng):
         rng, sub = jax.random.split(rng)
-        grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+        grad_fn = microbatched_value_and_grad(forward_loss, accum_steps)
         (_, res), grads = grad_fn(params, batch, sub)
         extra = dict(value=res.loss + res.reg) if needs_value else {}
         updates, opt_state = tx.update(grads, opt_state, params, **extra)

@@ -513,3 +513,84 @@ def test_rollback_on_spike_recovers(capsys):
     post = lt[last_spike + 1:]
     assert np.isfinite(post).all()
     assert post[-1] <= np.nanmin(lt[:last_spike]) * 1.5
+
+
+def test_grad_accumulation_matches_full_batch():
+    """microbatched_value_and_grad(accum_steps=k) must equal the
+    full-batch gradient for mean-reduced losses (deterministic model so
+    dropout keys don't differ between the two paths)."""
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+    from galerkin_transformer_tpu.train.steps import (
+        microbatched_value_and_grad)
+    from galerkin_transformer_tpu.utils import load_config
+
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    for k in list(cfg):
+        if "dropout" in k:
+            cfg[k] = 0.0
+    model = SimpleTransformer.from_config(cfg)
+    n, b = 64, 8
+    key = jax.random.key(0)
+    node = jax.random.normal(key, (b, n, 1))
+    pos = jnp.broadcast_to(jnp.linspace(0, 1, n)[None, :, None], (b, n, 1))
+    target = jax.random.normal(jax.random.key(1), (b, n, 2))
+    batch = dict(node=node, pos=pos, grid=pos, target=target)
+    params = model.init(key, node, None, pos, pos)["params"]
+    loss_fn = WeightedL2Loss(regularizer=True, h=1 / n, gamma=0.1)
+
+    def forward_loss(p, bt, rng):
+        out = model.apply({"params": p}, bt["node"], None, bt["pos"],
+                          bt["grid"], deterministic=False,
+                          rngs={"dropout": rng})
+        res = loss_fn(out["preds"][..., 0], bt["target"][..., 0],
+                      targets_prime=bt["target"][..., 1])
+        return res.loss + res.reg, res
+
+    (v1, res1), g1 = microbatched_value_and_grad(forward_loss, 1)(
+        params, batch, key)
+    (v4, res4), g4 = microbatched_value_and_grad(forward_loss, 4)(
+        params, batch, key)
+    np.testing.assert_allclose(float(v1), float(v4), rtol=2e-6)
+    np.testing.assert_allclose(float(res1.loss), float(res4.loss),
+                               rtol=2e-6)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat4 = jax.tree_util.tree_leaves(g4)
+    for a, c in zip(flat1, flat4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-5, atol=1e-7)
+
+
+def test_grad_accumulation_train_step_runs():
+    """make_burgers_steps(accum_steps=2): one jitted update runs and the
+    params move."""
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+    from galerkin_transformer_tpu.train.steps import make_burgers_steps
+    from galerkin_transformer_tpu.utils import load_config
+
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    model = SimpleTransformer.from_config(cfg)
+    n, b = 64, 4
+    key = jax.random.key(0)
+    node = jax.random.normal(key, (b, n, 1))
+    pos = jnp.broadcast_to(jnp.linspace(0, 1, n)[None, :, None], (b, n, 1))
+    batch = dict(node=node, edge=None, pos=pos, grid=pos,
+                 target=jax.random.normal(jax.random.key(1), (b, n, 2)))
+    params = model.init(key, node, None, pos, pos)["params"]
+    tx, _ = adam_onecycle(1e-3, total_steps=10, grad_clip=0.999)
+    opt_state = tx.init(params)
+    train_step, _ = make_burgers_steps(
+        model, WeightedL2Loss(regularizer=True, h=1 / n, gamma=0.1),
+        WeightedL2Loss(regularizer=False, h=1 / n), tx, donate=False,
+        accum_steps=2)
+    p2, _, _, losses = train_step(params, opt_state, batch, key)
+    assert np.isfinite(float(losses[0]))
+    moved = any(float(jnp.abs(a - b2).max()) > 0
+                for a, b2 in zip(jax.tree_util.tree_leaves(params),
+                                 jax.tree_util.tree_leaves(p2)))
+    assert moved
