@@ -110,7 +110,8 @@ def main(argv=None):
 
     loss_fn = WeightedL2Loss(regularizer=True, h=h, gamma=args.gamma)
     metric_fn = WeightedL2Loss(regularizer=False, h=h)
-    train_step, eval_step = make_burgers_steps(model, loss_fn, metric_fn, tx)
+    train_step, eval_step = make_burgers_steps(model, loss_fn, metric_fn, tx,
+                                               accum_steps=args.accum_steps)
 
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,

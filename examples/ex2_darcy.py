@@ -107,7 +107,8 @@ def main(argv=None):
     metric_fn = WeightedL2Loss2d(regularizer=False, h=h)
     train_step, eval_step = make_darcy_steps(
         model, loss_fn, metric_fn, tx, normalizer=normalizer,
-        online_noise=args.noise if args.online_noise else 0.0)
+        online_noise=args.noise if args.online_noise else 0.0,
+        accum_steps=args.accum_steps)
 
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,
