@@ -74,7 +74,7 @@ def _roofline(fn, args, dt):
     return out
 
 
-def bench_ours(batch_size=BATCH, bf16=False):
+def bench_ours(batch_size=BATCH, bf16=False, accum_steps=1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -106,7 +106,8 @@ def bench_ours(batch_size=BATCH, bf16=False):
     opt_state = tx.init(params)
     train_step, _ = make_burgers_steps(
         model, WeightedL2Loss(regularizer=True, h=h, gamma=0.1),
-        WeightedL2Loss(regularizer=False, h=h), tx, donate=False)
+        WeightedL2Loss(regularizer=False, h=h), tx, donate=False,
+        accum_steps=accum_steps)
 
     # chained in-program timing with a host fetch: on the axon tunnel,
     # block_until_ready confirms dispatch, not completion (see
@@ -298,6 +299,10 @@ def main():
     dt16, step16, args16 = bench_ours(bf16=True)
     dt32, step32, args32 = bench_ours(bf16=False)
     dt64, _, _ = bench_ours(batch_size=64, bf16=True)
+    # bsz-64 with x8 microbatch accumulation: each microbatch stays in the
+    # VMEM weights-resident regime, beating even bsz-8 per-sample cost
+    # (docs/PERFORMANCE.md round-4 accumulation table).
+    dt64a, _, _ = bench_ours(batch_size=64, bf16=True, accum_steps=8)
     points_per_sec = BATCH * N_GRID / dt16
     ref_dt = bench_reference()
     vs = (ref_dt / dt16) if ref_dt else None
@@ -313,6 +318,8 @@ def main():
         "f32_step_ms": round(dt32 * 1e3, 3),
         "bsz64_step_ms": round(dt64 * 1e3, 3),
         "bsz64_grid_points_per_s": round(64 * N_GRID / dt64, 1),
+        "bsz64_accum8_step_ms": round(dt64a * 1e3, 3),
+        "bsz64_accum8_grid_points_per_s": round(64 * N_GRID / dt64a, 1),
     }
     record.update(_roofline(step16, args16, dt16))
     f32_roof = {f"f32_{k}": v
