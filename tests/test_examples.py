@@ -20,7 +20,7 @@ def test_ex1_driver_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setattr(ex1, "MODEL_PATH", str(tmp_path))
     val = ex1.main(["--subsample", "32", "--epochs", "2",
                     "--n-samples", "24", "--batch-size", "4",
-                    "--val-batch-size", "4"])
+                    "--val-batch-size", "4", "--accum-steps", "2"])
     assert val < 10.0  # it ran and produced a finite metric
 
 
