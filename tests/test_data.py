@@ -167,6 +167,7 @@ def test_burgers_cole_hopf_solves_burgers():
     assert rel < 1e-3
 
 
+@pytest.mark.heavy
 def test_darcy_sparse_edge_matches_dense():
     """sparse_edge=True (reference ft.py:800-803): compact (values, indices)
     whose on-device scatter reproduces the dense edge batch, at a 61-grid

@@ -3,6 +3,7 @@ run_train(device_loop=True) integration path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from galerkin_transformer_tpu.data import BurgersDataset, DataLoader
 from galerkin_transformer_tpu.models import SimpleTransformer
@@ -37,6 +38,7 @@ def _tiny_setup(dropout=0.0):
     return model, tx, params, train_step, eval_step, tl, vl
 
 
+@pytest.mark.heavy
 def test_device_epoch_matches_host_loop():
     """shuffle=False, same rng thread => the scanned epoch reproduces the
     host loop's per-step losses and validation metric exactly."""
@@ -69,6 +71,7 @@ def test_device_epoch_matches_host_loop():
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_run_train_device_loop_end_to_end(tmp_path):
     """run_train(device_loop=True) trains, checkpoints, logs, and the loss
     goes down; EMA variant runs too."""
@@ -89,6 +92,7 @@ def test_run_train_device_loop_end_to_end(tmp_path):
     assert (tmp_path / "m.ckpt").exists()
 
 
+@pytest.mark.heavy
 def test_device_epoch_ragged_validation():
     """Validation batch remainder is handled (sample-weighted mean)."""
     from galerkin_transformer_tpu.train.device_loop import DeviceEpochRunner
@@ -117,6 +121,7 @@ def test_device_epoch_ragged_train_raises():
         DeviceEpochRunner(train_step, eval_step, tl, vl, verbose=False)
 
 
+@pytest.mark.heavy
 def test_device_epoch_uses_loader_seed():
     """The on-device shuffle key follows the DataLoader's seed (the
     driver's --seed), so different seeds give different batch orders."""
@@ -138,6 +143,7 @@ def test_device_epoch_uses_loader_seed():
     assert not np.allclose(orders[0], orders[1])
 
 
+@pytest.mark.heavy
 def test_k_epochs_per_dispatch_matches_per_epoch(tmp_path):
     """epochs_per_dispatch=3 must reproduce the per-epoch device loop
     exactly: same val trajectory (same fold_in key stream), same best

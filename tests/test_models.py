@@ -166,6 +166,7 @@ def test_galerkin_decoder_layer(rng_key):
     assert out.shape == (2, 16, 32)
 
 
+@pytest.mark.heavy
 def test_simple_transformer_bf16_encoder(rng_key):
     """bf16 encoder compute with f32 params: finite output, grads exist."""
     cfg = load_config("ex1_burgers")

@@ -52,6 +52,7 @@ def test_seq_sharded_galerkin_with_ln_and_pos(mesh8):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_data_parallel_train_step_runs(mesh8):
     """Full jitted train step with batch sharded over 'data'."""
     from galerkin_transformer_tpu.models import SimpleTransformer
@@ -92,6 +93,7 @@ def test_data_parallel_train_step_runs(mesh8):
     assert np.isfinite(float(m))
 
 
+@pytest.mark.heavy
 def test_data_parallel_train_step_matches_single_device(mesh8):
     """8-way data-parallel training must track the single-device step
     numerically (VERDICT r3 item 7): same losses and same params after
@@ -144,6 +146,7 @@ def test_data_parallel_train_step_matches_single_device(mesh8):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_seq_parallel_train_step_matches_unsharded(mesh8):
     """End-to-end sequence-parallel training (SURVEY §2.8 item 3): a 2-layer
     galerkin SimpleTransformer trained on Mesh('data'=2,'seq'=4) with

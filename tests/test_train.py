@@ -251,6 +251,7 @@ def test_ns_rollout_step_runs():
     assert np.isfinite(float(m))
 
 
+@pytest.mark.heavy
 def test_darcy_step_runs():
     from galerkin_transformer_tpu.data import DarcyDataset, DataLoader
     from galerkin_transformer_tpu.models import FourierTransformer2D
@@ -515,6 +516,7 @@ def test_rollback_on_spike_recovers(capsys):
     assert post[-1] <= np.nanmin(lt[:last_spike]) * 1.5
 
 
+@pytest.mark.heavy
 def test_grad_accumulation_matches_full_batch():
     """microbatched_value_and_grad(accum_steps=k) must equal the
     full-batch gradient for mean-reduced losses (deterministic model so
