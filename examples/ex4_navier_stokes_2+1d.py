@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("--epochs-per-dispatch", type=int, default=1)
     p.add_argument("--rollback-on-spike", type=float, default=None)
     p.add_argument("--resume-epoch", type=int, default=None)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation microbatches per step "
+                        "(see docs/PERFORMANCE.md)")
     args = p.parse_args(argv)
     from galerkin_transformer_tpu.utils.jax_setup import setup
     setup(precision=None if args.fast_matmul else "highest")
@@ -94,7 +97,8 @@ def main(argv=None):
     metric_fn = WeightedL2Loss2d(regularizer=False, h=h)
     train_step, eval_step = make_ns_steps(
         model, loss_fn, metric_fn, tx,
-        time_steps=train_dataset.time_steps_output)
+        time_steps=train_dataset.time_steps_output,
+        accum_steps=args.accum_steps)
 
     best_params, params, opt_state, result = run_train(
         train_step, eval_step, params, opt_state,

@@ -166,7 +166,8 @@ def make_darcy_steps(model, loss_fn, metric_fn, tx,
 # ------------------------------------------------------------------- NS
 
 def make_ns_steps(model, loss_fn, metric_fn, tx, time_steps: int = 10,
-                  donate: bool = True, needs_value: bool = False):
+                  donate: bool = True, needs_value: bool = False,
+                  accum_steps: int = 1):
     """Autoregressive rollout training: scan over the window, one backward
     through all steps (ns_lite.py:205-238)."""
 
@@ -194,7 +195,7 @@ def make_ns_steps(model, loss_fn, metric_fn, tx, time_steps: int = 10,
 
     def train_step(params, opt_state, batch, rng):
         rng, sub = jax.random.split(rng)
-        grad_fn = jax.value_and_grad(rollout_loss, has_aux=True)
+        grad_fn = microbatched_value_and_grad(rollout_loss, accum_steps)
         (_, (loss_tot, reg_tot)), grads = grad_fn(params, batch, sub)
         extra = dict(value=loss_tot) if needs_value else {}
         updates, opt_state = tx.update(grads, opt_state, params, **extra)
