@@ -250,6 +250,40 @@ def test_ns_rollout_step_runs():
     m = eval_step(params, b)
     assert np.isfinite(float(m))
 
+    # accum_steps=2 on the rollout step: the BPTT loss is batch-mean
+    # reduced inside WeightedL2Loss2d, so the microbatched update must
+    # match the monolithic one (ffn_dropout zeroed so the two paths'
+    # different key splits cannot diverge)
+    cfg_det = dict(cfg)
+    for k in list(cfg_det):
+        if "dropout" in k:
+            cfg_det[k] = 0.0
+    model = FourierTransformer2DLite.from_config(cfg_det)
+    train_step, _ = make_ns_steps(
+        model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.1),
+        WeightedL2Loss2d(regularizer=False, h=h), tx, time_steps=3)
+    train_step2, _ = make_ns_steps(
+        model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.1),
+        WeightedL2Loss2d(regularizer=False, h=h), tx, time_steps=3,
+        accum_steps=2)
+    b2 = next(iter(DataLoader(ds, 2, drop_last=True)))
+    p_mono, _, _, l_mono = train_step(
+        *_reinit(model, tx, b2), b2, jax.random.key(0))
+    p_micro, _, _, l_micro = train_step2(
+        *_reinit(model, tx, b2), b2, jax.random.key(0))
+    np.testing.assert_allclose(float(l_mono[0]), float(l_micro[0]),
+                               rtol=2e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(p_mono),
+                    jax.tree_util.tree_leaves(p_micro)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def _reinit(model, tx, b):
+    params = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
+                        jnp.asarray(b["pos"]), jnp.asarray(b["grid"]))["params"]
+    return params, tx.init(params)
+
 
 @pytest.mark.heavy
 def test_darcy_step_runs():
