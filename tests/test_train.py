@@ -220,6 +220,7 @@ def test_burgers_training_learns(tmp_path):
     assert diff > 0.0
 
 
+@pytest.mark.heavy
 def test_ns_rollout_step_runs():
     from galerkin_transformer_tpu.data import (DataLoader,
                                                NavierStokesDatasetLite)
