@@ -121,7 +121,7 @@ def bench_ours(batch_size=BATCH, bf16=False, accum_steps=1):
 
 
 def bench_ours_2d(batch_size=4, bf16=True, n_fine=141, n_coarse=43,
-                  build_only=False):
+                  build_only=False, accum_steps=1):
     """ex2 Darcy 2D train-step throughput (VERDICT r3 item 2): the full
     jitted FourierTransformer2D step (interp-CNN downscaler 141²→43²,
     6 galerkin encoder layers d=128, interp upsampler, SpectralConv2d
@@ -174,7 +174,8 @@ def bench_ours_2d(batch_size=4, bf16=True, n_fine=141, n_coarse=43,
     opt_state = tx.init(params)
     train_step, _ = make_darcy_steps(
         model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.5),
-        WeightedL2Loss2d(regularizer=False, h=h), tx, donate=False)
+        WeightedL2Loss2d(regularizer=False, h=h), tx, donate=False,
+        accum_steps=accum_steps)
 
     key = jax.random.key(0)
     if build_only:

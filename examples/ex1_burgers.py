@@ -108,7 +108,18 @@ def main(argv=None):
                                      if args.final_div else {}))
     opt_state = tx.init(params)
 
-    loss_fn = WeightedL2Loss(regularizer=True, h=h, gamma=args.gamma)
+    gamma = args.gamma
+    if getattr(args, "nonuniform", False) and gamma:
+        # the H1 regularizer's central difference assumes uniform spacing
+        # h; on per-sample nonuniform meshes that derivative estimate is
+        # wrong, so the penalty would compare it against exact derivatives
+        # gathered at nonuniform points.  Disable it rather than train
+        # against a wrong derivative (pass --gamma explicitly at your own
+        # risk only on near-uniform meshes).
+        print(f"--nonuniform: disabling the uniform-spacing H1 regularizer "
+              f"(gamma {gamma} -> 0)")
+        gamma = 0.0
+    loss_fn = WeightedL2Loss(regularizer=True, h=h, gamma=gamma)
     metric_fn = WeightedL2Loss(regularizer=False, h=h)
     train_step, eval_step = make_burgers_steps(model, loss_fn, metric_fn, tx,
                                                accum_steps=args.accum_steps)

@@ -121,10 +121,15 @@ class DeviceEpochRunner:
         train_step, eval_step = self.train_step, self.eval_step
         n_train, bsz = self.n_train, self.batch_size
         n_batches, decay = self.n_batches, self.ema_decay
-        valid_full, valid_tail = self.valid_full, self.valid_tail
         n_full_samples, n_tail = self._valid_counts
 
-        def epoch(params, opt_state, rng, ema_params, key, train_data):
+        # valid_full/valid_tail are jit ARGUMENTS, not closure captures:
+        # captured device arrays are baked into the HLO as constants, and
+        # on a remote-compile backend a GB-scale validation set blows the
+        # compile-request size limit (observed: HTTP 413 at ex4 n=4096
+        # with a 0.66 GB valid set).  None stays None through tracing.
+        def epoch(params, opt_state, rng, ema_params, key, train_data,
+                  valid_full, valid_tail):
             if self.shuffle:
                 perm = jax.random.permutation(key, n_train)
             else:
@@ -167,7 +172,8 @@ class DeviceEpochRunner:
         ema_params, losses [np, (n_batches, n_losses)], val_metric)."""
         key = jax.random.fold_in(self._key, epoch_idx)
         params, opt_state, rng, ema_params, losses, val = self._epoch_fn(
-            params, opt_state, rng, ema_params, key, self.train_data)
+            params, opt_state, rng, ema_params, key, self.train_data,
+            self.valid_full, self.valid_tail)
         losses, val = jax.device_get((losses, val))
         return params, opt_state, rng, ema_params, np.asarray(losses), \
             float(val)
@@ -184,11 +190,12 @@ class DeviceEpochRunner:
         sign = 1.0 if self.mode == "min" else -1.0
 
         def block(params, opt_state, rng, ema_params, best_val, best_params,
-                  keys, train_data):
+                  keys, train_data, valid_full, valid_tail):
             def body(carry, key):
                 params, opt_state, rng, ema, b_val, b_par = carry
                 params, opt_state, rng, ema, losses, val = epoch_fn(
-                    params, opt_state, rng, ema, key, train_data)
+                    params, opt_state, rng, ema, key, train_data,
+                    valid_full, valid_tail)
                 eval_params = ema if self.ema_decay is not None else params
                 better = jnp.isfinite(val) & (sign * val < sign * b_val)
                 b_val = jnp.where(better, val, b_val)
@@ -224,7 +231,8 @@ class DeviceEpochRunner:
         (params, opt_state, rng, ema_params, best_val, best_params,
          losses, vals) = self._block_fn(
             params, opt_state, rng, ema_params,
-            jnp.float32(best_val), best_params, keys, self.train_data)
+            jnp.float32(best_val), best_params, keys, self.train_data,
+            self.valid_full, self.valid_tail)
         best_val_h, losses, vals = jax.device_get((best_val, losses, vals))
         return (params, opt_state, rng, ema_params, float(best_val_h),
                 best_params, np.asarray(losses), np.asarray(vals))

@@ -38,13 +38,24 @@ def microbatched_value_and_grad(forward_loss, accum_steps: int):
     sizes whose activations exceed HBM.
 
     ``forward_loss(params, batch, rng) -> (scalar, aux)``; batch leaves
-    must have a leading batch dim divisible by ``accum_steps``.
+    must have a leading batch dim divisible by ``accum_steps``.  Aux
+    leaves are elementwise-averaged across microbatches, so aux must be
+    microbatch-shape-invariant (scalars): a batch-shaped aux leaf would
+    come back with microbatch shape and cross-microbatch averaging
+    semantics.  The train steps here only consume scalar aux fields.
     """
     base = jax.value_and_grad(forward_loss, has_aux=True)
     if accum_steps <= 1:
         return base
 
     def wrapped(params, batch, rng):
+        bad = [f"{k}: {v.shape}" for k, v in batch.items()
+               if v.shape[0] % accum_steps]
+        if bad:  # trace-time check — free at runtime
+            raise ValueError(
+                f"gradient accumulation needs the leading batch dim "
+                f"divisible by accum_steps={accum_steps}; got "
+                f"{', '.join(bad)}")
         micro = jax.tree.map(
             lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
                                 + x.shape[1:]), batch)

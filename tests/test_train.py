@@ -631,3 +631,21 @@ def test_grad_accumulation_train_step_runs():
                 for a, b2 in zip(jax.tree_util.tree_leaves(params),
                                  jax.tree_util.tree_leaves(p2)))
     assert moved
+
+
+def test_grad_accumulation_indivisible_batch_raises_clearly():
+    """accum_steps that does not divide the batch dim must fail at trace
+    time with a readable message, not an opaque reshape error (ADVICE r4)."""
+    import pytest
+
+    from galerkin_transformer_tpu.train.steps import (
+        microbatched_value_and_grad)
+
+    def forward_loss(params, batch, rng):
+        return jnp.sum(params["w"] * batch["x"]), ()
+
+    fn = microbatched_value_and_grad(forward_loss, 3)
+    params = {"w": jnp.ones(())}
+    batch = {"x": jnp.ones((4, 2))}
+    with pytest.raises(ValueError, match="divisible by accum_steps=3"):
+        fn(params, batch, jax.random.key(0))
