@@ -186,6 +186,57 @@ def bench_ours_2d(batch_size=4, bf16=True, n_fine=141, n_coarse=43,
     return dt, train_step, (params, opt_state, batch, key)
 
 
+def bench_ours_ns(batch_size=4, n_grid=64, t_in=10, t_out=10, bf16=True,
+                  accum_steps=1):
+    """ex4 NS rollout train-step throughput (VERDICT r4 item 8): the full
+    jitted FourierTransformer2DLite 10-step BPTT rollout step (lax.scan
+    over the autoregressive window slide, per-step Sobolev loss, one
+    update) at the reference's ex4 defaults (64² grid, bsz 4; reference:
+    examples/ex4_navier_stokes_2+1d.py:27-55, libs/ns_lite.py:205-238)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from galerkin_transformer_tpu.models import FourierTransformer2DLite
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss2d
+    from galerkin_transformer_tpu.train.schedule import adam_onecycle
+    from galerkin_transformer_tpu.train.steps import make_ns_steps
+    from galerkin_transformer_tpu.utils import load_config
+
+    cfg = load_config("ex4_navier_stokes", path=os.path.join(REPO,
+                                                             "config.yml"))
+    if bf16:
+        cfg["dtype"] = jnp.bfloat16
+    model = FourierTransformer2DLite.from_config(cfg)
+
+    rng = np.random.default_rng(0)
+    b, n = batch_size, n_grid
+    node = jnp.asarray(rng.standard_normal((b, n, n, t_in)), jnp.float32)
+    x1 = jnp.linspace(0, 1, n, dtype=jnp.float32)
+    g = jnp.stack(jnp.meshgrid(x1, x1, indexing="ij"), -1)
+    grid = jnp.broadcast_to(g[None], (b, n, n, 2))
+    pos = jnp.broadcast_to(g.reshape(-1, 2)[None], (b, n * n, 2))
+    target = jnp.asarray(rng.standard_normal((b, n, n, t_out)), jnp.float32)
+    tgrad = jnp.asarray(rng.standard_normal((b, n, n, 2, t_out)),
+                        jnp.float32)
+    batch = dict(node=node, pos=pos, grid=grid, target=target,
+                 target_grad=tgrad)
+
+    params = model.init(jax.random.key(0), node, None, pos, grid)["params"]
+    h = 1.0 / n
+    tx, _ = adam_onecycle(1e-3, total_steps=10_000, grad_clip=0.999)
+    opt_state = tx.init(params)
+    train_step, _ = make_ns_steps(
+        model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.1),
+        WeightedL2Loss2d(regularizer=False, h=h), tx,
+        time_steps=t_out, donate=False, accum_steps=accum_steps)
+
+    key = jax.random.key(0)
+    from galerkin_transformer_tpu.utils.profiling import measure
+    dt = measure(train_step, params, opt_state, batch, key,
+                 iters=3 * ITERS, iters_lo=ITERS)
+    return dt, train_step, (params, opt_state, batch, key)
+
+
 def bench_reference():
     """Reference torch train step on this host (its only runnable backend
     here).  Returns seconds/step or None."""
@@ -337,6 +388,17 @@ def main():
     }
     rec2d.update(_roofline(step2d, args2d, dt2d))
     record["ex2_darcy_2d"] = rec2d
+    # third workload: the ex4 NS rollout step (10-step BPTT, 64², bsz 4)
+    dtns, stepns, argsns = bench_ours_ns()
+    recns = {
+        "step_ms": round(dtns * 1e3, 3),
+        "rollout_grid_points_per_s": round(4 * 64 * 64 * 10 / dtns, 1),
+        "unit": "rollout grid-points/s (64² grid × 10 BPTT steps, bsz 4, "
+                "full train step incl. per-step Sobolev loss, bf16 "
+                "encoder + high matmul)",
+    }
+    recns.update(_roofline(stepns, argsns, dtns))
+    record["ex4_ns_rollout"] = recns
     if "--roofline" in sys.argv:
         record["galerkin_kernel_n8192"] = bench_galerkin_kernel()
     print(json.dumps(record))

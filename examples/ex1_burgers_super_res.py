@@ -57,7 +57,8 @@ def main(argv=None):
     h_train = (1 / 2 ** 13) * 4
     h_eval = 1 / 2 ** 13
     total_steps = len(train_loader) * args.epochs
-    tx, sched = adam_onecycle(args.lr, total_steps, grad_clip=0.999)
+    tx, sched = adam_onecycle(args.lr, total_steps, grad_clip=0.999,
+                              cycle_momentum=args.cycle_momentum)
     opt_state = tx.init(params)
 
     train_step, eval_step = make_burgers_steps(
@@ -69,7 +70,10 @@ def main(argv=None):
         train_loader, valid_loader, jax.random.key(args.seed),
         epochs=args.epochs, lr_schedule=sched, patience=None,
         model_save_path=MODEL_PATH, model_name="burgers_super_res.ckpt",
-        result_name="burgers_super_res.pkl")
+        result_name="burgers_super_res.pkl", ema_decay=args.ema_decay,
+        device_loop=args.device_data,
+        epochs_per_dispatch=args.epochs_per_dispatch,
+        rollback_on_spike=args.rollback_on_spike)
 
     val = validate_epoch(eval_step, best_params, valid_loader)
     print(f"\nZero-shot super-res validation metric (n=8192): {val:.4e}")

@@ -29,6 +29,7 @@ per-batch means, which differs only when the last batch is ragged).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -114,58 +115,13 @@ class DeviceEpochRunner:
         self._key = jax.random.key(shuffle_seed)
         self.epochs_per_dispatch = max(1, int(epochs_per_dispatch))
         self.mode = mode
-        self._epoch_fn = jax.jit(self._build(), donate_argnums=(0, 1, 3))
+        self._epoch_fn = _jitted_epoch(*self._cache_key())
         self._block_fn, self._block_k = None, 0  # built lazily per length
 
-    def _build(self):
-        train_step, eval_step = self.train_step, self.eval_step
-        n_train, bsz = self.n_train, self.batch_size
-        n_batches, decay = self.n_batches, self.ema_decay
-        n_full_samples, n_tail = self._valid_counts
-
-        # valid_full/valid_tail are jit ARGUMENTS, not closure captures:
-        # captured device arrays are baked into the HLO as constants, and
-        # on a remote-compile backend a GB-scale validation set blows the
-        # compile-request size limit (observed: HTTP 413 at ex4 n=4096
-        # with a 0.66 GB valid set).  None stays None through tracing.
-        def epoch(params, opt_state, rng, ema_params, key, train_data,
-                  valid_full, valid_tail):
-            if self.shuffle:
-                perm = jax.random.permutation(key, n_train)
-            else:
-                perm = jnp.arange(n_train)
-            idx = perm[: n_batches * bsz].reshape(n_batches, bsz)
-
-            def body(carry, ids):
-                params, opt_state, rng, ema = carry
-                batch = {k: jnp.take(v, ids, axis=0)
-                         for k, v in train_data.items()}
-                params, opt_state, rng, losses = train_step(
-                    params, opt_state, batch, rng)
-                if decay is not None:
-                    ema = jax.tree_util.tree_map(
-                        lambda e, p: decay * e + (1.0 - decay) * p,
-                        ema, params)
-                return (params, opt_state, rng, ema), jnp.stack(losses)
-
-            (params, opt_state, rng, ema_params), losses = jax.lax.scan(
-                body, (params, opt_state, rng, ema_params), idx)
-
-            eval_params = ema_params if decay is not None else params
-            total, count = jnp.float32(0.0), 0
-            if valid_full is not None:
-                metrics = jax.lax.map(
-                    lambda b: eval_step(eval_params, b), valid_full)
-                total = total + jnp.sum(metrics) * (n_full_samples
-                                                    / metrics.shape[0])
-                count += n_full_samples
-            if valid_tail is not None:
-                total = total + eval_step(eval_params, valid_tail) * n_tail
-                count += n_tail
-            val_metric = total / count
-            return params, opt_state, rng, ema_params, losses, val_metric
-
-        return epoch
+    def _cache_key(self):
+        return (self.train_step, self.eval_step, self.shuffle,
+                self.n_train, self.batch_size, self.n_batches,
+                self.ema_decay) + self._valid_counts
 
     def epoch(self, params, opt_state, rng, ema_params, epoch_idx: int):
         """One epoch on device.  Returns (params, opt_state, rng,
@@ -179,40 +135,8 @@ class DeviceEpochRunner:
             float(val)
 
     def _build_block(self, k: int):
-        """k epochs as ONE jitted program (one dispatch, one host fetch).
-
-        Best-val tracking runs ON DEVICE inside the scan so the exact
-        best-epoch parameter snapshot survives without a per-epoch host
-        round trip: the carry holds (best_val, best_params) and updates
-        them with the same min/max rule the trainer applies.
-        """
-        epoch_fn = self._build()
-        sign = 1.0 if self.mode == "min" else -1.0
-
-        def block(params, opt_state, rng, ema_params, best_val, best_params,
-                  keys, train_data, valid_full, valid_tail):
-            def body(carry, key):
-                params, opt_state, rng, ema, b_val, b_par = carry
-                params, opt_state, rng, ema, losses, val = epoch_fn(
-                    params, opt_state, rng, ema, key, train_data,
-                    valid_full, valid_tail)
-                eval_params = ema if self.ema_decay is not None else params
-                better = jnp.isfinite(val) & (sign * val < sign * b_val)
-                b_val = jnp.where(better, val, b_val)
-                b_par = jax.tree_util.tree_map(
-                    lambda b, p: jnp.where(better, p, b), b_par, eval_params)
-                return (params, opt_state, rng, ema, b_val, b_par), \
-                    (losses, val)
-
-            carry, (losses, vals) = jax.lax.scan(
-                body, (params, opt_state, rng, ema_params, best_val,
-                       best_params), keys)
-            params, opt_state, rng, ema_params, best_val, best_params = carry
-            return (params, opt_state, rng, ema_params, best_val,
-                    best_params, losses, vals)
-
-        # donate the training state AND the best tree (replaced each call)
-        return jax.jit(block, donate_argnums=(0, 1, 3, 5))
+        """k epochs as ONE jitted program (one dispatch, one host fetch)."""
+        return _jitted_block(self._cache_key(), self.mode, k)
 
     def run_block(self, params, opt_state, rng, ema_params,
                   best_val: float, best_params, start_epoch: int, k: int):
@@ -236,3 +160,106 @@ class DeviceEpochRunner:
         best_val_h, losses, vals = jax.device_get((best_val, losses, vals))
         return (params, opt_state, rng, ema_params, float(best_val_h),
                 best_params, np.asarray(losses), np.asarray(vals))
+
+
+def _build_epoch(train_step, eval_step, shuffle, n_train, bsz, n_batches,
+                 decay, n_full_samples, n_tail):
+    """The one-epoch device program (pure function of its arguments).
+
+    valid_full/valid_tail are jit ARGUMENTS, not closure captures:
+    captured device arrays are baked into the HLO as constants, and on a
+    remote-compile backend a GB-scale validation set blows the
+    compile-request size limit (observed: HTTP 413 at ex4 n=4096 with a
+    0.66 GB valid set).  None stays None through tracing.
+    """
+
+    def epoch(params, opt_state, rng, ema_params, key, train_data,
+              valid_full, valid_tail):
+        if shuffle:
+            perm = jax.random.permutation(key, n_train)
+        else:
+            perm = jnp.arange(n_train)
+        idx = perm[: n_batches * bsz].reshape(n_batches, bsz)
+
+        def body(carry, ids):
+            params, opt_state, rng, ema = carry
+            batch = {k: jnp.take(v, ids, axis=0)
+                     for k, v in train_data.items()}
+            params, opt_state, rng, losses = train_step(
+                params, opt_state, batch, rng)
+            if decay is not None:
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: decay * e + (1.0 - decay) * p,
+                    ema, params)
+            return (params, opt_state, rng, ema), jnp.stack(losses)
+
+        (params, opt_state, rng, ema_params), losses = jax.lax.scan(
+            body, (params, opt_state, rng, ema_params), idx)
+
+        eval_params = ema_params if decay is not None else params
+        total, count = jnp.float32(0.0), 0
+        if valid_full is not None:
+            metrics = jax.lax.map(
+                lambda b: eval_step(eval_params, b), valid_full)
+            total = total + jnp.sum(metrics) * (n_full_samples
+                                                / metrics.shape[0])
+            count += n_full_samples
+        if valid_tail is not None:
+            total = total + eval_step(eval_params, valid_tail) * n_tail
+            count += n_tail
+        val_metric = total / count
+        return params, opt_state, rng, ema_params, losses, val_metric
+
+    return epoch
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_epoch(*key):
+    """Memoized jitted epoch program.
+
+    Keyed on (train_step, eval_step, loop scalars): two runners built from
+    the same step closures and loop geometry share ONE jitted function
+    object, so jit's trace cache serves the second runner without a
+    recompile (the per-runner closure used to force a fresh ~40 s compile
+    in every heavy test — VERDICT r4 item 9)."""
+    return jax.jit(_build_epoch(*key), donate_argnums=(0, 1, 3))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_block(key, mode, k):
+    """Memoized k-epochs-per-dispatch program (see _jitted_epoch).
+
+    Best-val tracking runs ON DEVICE inside the scan so the exact
+    best-epoch parameter snapshot survives without a per-epoch host round
+    trip: the carry holds (best_val, best_params) and updates them with
+    the same min/max rule the trainer applies.  ``k`` only affects the
+    scanned key count (shapes), but is part of the memo key so each block
+    length keeps its own jit object."""
+    epoch_fn = _build_epoch(*key)
+    decay = key[6]
+    sign = 1.0 if mode == "min" else -1.0
+
+    def block(params, opt_state, rng, ema_params, best_val, best_params,
+              keys, train_data, valid_full, valid_tail):
+        def body(carry, kk):
+            params, opt_state, rng, ema, b_val, b_par = carry
+            params, opt_state, rng, ema, losses, val = epoch_fn(
+                params, opt_state, rng, ema, kk, train_data,
+                valid_full, valid_tail)
+            eval_params = ema if decay is not None else params
+            better = jnp.isfinite(val) & (sign * val < sign * b_val)
+            b_val = jnp.where(better, val, b_val)
+            b_par = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(better, p, b), b_par, eval_params)
+            return (params, opt_state, rng, ema, b_val, b_par), \
+                (losses, val)
+
+        carry, (losses, vals) = jax.lax.scan(
+            body, (params, opt_state, rng, ema_params, best_val,
+                   best_params), keys)
+        params, opt_state, rng, ema_params, best_val, best_params = carry
+        return (params, opt_state, rng, ema_params, best_val,
+                best_params, losses, vals)
+
+    # donate the training state AND the best tree (replaced each call)
+    return jax.jit(block, donate_argnums=(0, 1, 3, 5))

@@ -13,11 +13,19 @@ from galerkin_transformer_tpu.train.steps import make_burgers_steps
 from galerkin_transformer_tpu.utils import load_config
 
 
-def _tiny_setup(dropout=0.0):
-    tr = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
-                        train_portion=0.75, n_samples_synthetic=32)
-    va = BurgersDataset(subsample=8, n_grid_fine=512, train_data=False,
-                        valid_portion=0.25, n_samples_synthetic=32)
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_steps(dropout=0.0):
+    """Model + optimizer + COMPILED step closures, built once per dropout.
+
+    Every heavy test in this file uses the identical tiny config and batch
+    shapes, so sharing the `make_burgers_steps` closures lets jit's cache
+    serve all of them with one compile each (the per-test rebuild was the
+    dominant cost of the heavy tier — VERDICT r4 item 9).  Params are
+    copied per test by `_tiny_setup` because several paths donate them.
+    """
     cfg = load_config("ex1_burgers")
     cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
                freq_dim=16, fourier_modes=8, attention_type="galerkin")
@@ -30,11 +38,25 @@ def _tiny_setup(dropout=0.0):
     train_step, eval_step = make_burgers_steps(
         model, WeightedL2Loss(regularizer=True, h=h, gamma=0.1),
         WeightedL2Loss(regularizer=False, h=h), tx, donate=False)
+    n = 512 // 8
+    node = jnp.zeros((8, n, 1))
+    pos = jnp.broadcast_to(jnp.linspace(0, 1, n)[None, :, None], (8, n, 1))
+    params = model.init(jax.random.key(0), node, None, pos, pos)["params"]
+    return model, tx, params, train_step, eval_step
+
+
+def _tiny_setup(dropout=0.0):
+    model, tx, params, train_step, eval_step = _shared_steps(dropout)
+    # fresh loaders (tests mutate .shuffle) and a fresh params copy
+    # (device-loop paths donate their inputs)
+    tr = BurgersDataset(subsample=8, n_grid_fine=512, train_data=True,
+                        train_portion=0.75, n_samples_synthetic=32)
+    va = BurgersDataset(subsample=8, n_grid_fine=512, train_data=False,
+                        valid_portion=0.25, n_samples_synthetic=32)
     tl = DataLoader(tr, 8, shuffle=False, drop_last=True)
     vl = DataLoader(va, 4)
-    b = next(iter(tl))
-    params = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
-                        jnp.asarray(b["pos"]), jnp.asarray(b["grid"]))["params"]
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    params)
     return model, tx, params, train_step, eval_step, tl, vl
 
 

@@ -15,6 +15,37 @@ def mesh8():
     return make_mesh(data=2, seq=4)
 
 
+@pytest.fixture(scope="module")
+def tiny_burgers_steps():
+    """Shared tiny SimpleTransformer + compiled step closures (n=64).
+
+    The DP tests below use identical model config, batch shapes, and
+    shardings; sharing one `make_burgers_steps` closure lets the second
+    test's train/eval compiles hit jit's cache instead of recompiling
+    (VERDICT r4 item 9: the heavy tier was dominated by redundant
+    compiles)."""
+    from galerkin_transformer_tpu.models import SimpleTransformer
+    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
+    from galerkin_transformer_tpu.train.schedule import adam_onecycle
+    from galerkin_transformer_tpu.train.steps import make_burgers_steps
+    from galerkin_transformer_tpu.utils import load_config
+
+    cfg = load_config("ex1_burgers")
+    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
+               freq_dim=16, fourier_modes=8, attention_type="galerkin")
+    model = SimpleTransformer.from_config(cfg)
+    n = 64
+    tx, _ = adam_onecycle(1e-3, 10)
+    train_step, eval_step = make_burgers_steps(
+        model, WeightedL2Loss(regularizer=True, h=1 / n, gamma=0.1),
+        WeightedL2Loss(regularizer=False, h=1 / n), tx, donate=False)
+    node = jnp.zeros((8, n, 1))
+    pos = jnp.broadcast_to(jnp.linspace(0, 1, n)[None, :, None], (8, n, 1))
+    params = model.init(jax.random.key(0), node, jnp.ones((8, 1)), pos,
+                        pos)["params"]
+    return model, tx, params, train_step, eval_step
+
+
 def test_seq_sharded_galerkin_matches_dense(mesh8):
     b, h, n, d = 2, 2, 64, 8
     key = jax.random.key(0)
@@ -53,18 +84,9 @@ def test_seq_sharded_galerkin_with_ln_and_pos(mesh8):
 
 
 @pytest.mark.heavy
-def test_data_parallel_train_step_runs(mesh8):
+def test_data_parallel_train_step_runs(mesh8, tiny_burgers_steps):
     """Full jitted train step with batch sharded over 'data'."""
-    from galerkin_transformer_tpu.models import SimpleTransformer
-    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
-    from galerkin_transformer_tpu.train.schedule import adam_onecycle
-    from galerkin_transformer_tpu.train.steps import make_burgers_steps
-    from galerkin_transformer_tpu.utils import load_config
-
-    cfg = load_config("ex1_burgers")
-    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
-               freq_dim=16, fourier_modes=8, attention_type="galerkin")
-    model = SimpleTransformer.from_config(cfg)
+    model, tx, params, train_step, eval_step = tiny_burgers_steps
     n, bsz = 64, 4
     node = jnp.ones((bsz, n, 1))
     edge = jnp.ones((bsz, 1))
@@ -72,8 +94,6 @@ def test_data_parallel_train_step_runs(mesh8):
     target = jnp.ones((bsz, n, 2))
     batch = dict(node=node, edge=edge, pos=pos, grid=pos, target=target)
 
-    params = model.init(jax.random.key(0), node, edge, pos, pos)["params"]
-    tx, _ = adam_onecycle(1e-3, 10)
     opt_state = tx.init(params)
 
     dp = make_mesh(data=8, seq=1)
@@ -83,9 +103,6 @@ def test_data_parallel_train_step_runs(mesh8):
                                 else v, batch_sharding(dp))
               for k, v in batch.items()}
 
-    train_step, eval_step = make_burgers_steps(
-        model, WeightedL2Loss(regularizer=True, h=1 / n, gamma=0.1),
-        WeightedL2Loss(regularizer=False, h=1 / n), tx, donate=False)
     rng = jax.device_put(jax.random.key(0), replicate(dp))
     params2, opt_state2, rng, losses = train_step(params, opt_state, batch8, rng)
     assert np.isfinite(float(losses[0]))
@@ -94,21 +111,13 @@ def test_data_parallel_train_step_runs(mesh8):
 
 
 @pytest.mark.heavy
-def test_data_parallel_train_step_matches_single_device(mesh8):
+def test_data_parallel_train_step_matches_single_device(mesh8,
+                                                        tiny_burgers_steps):
     """8-way data-parallel training must track the single-device step
     numerically (VERDICT r3 item 7): same losses and same params after
     N steps — DP sharding only changes the reduction layout, not the
     math."""
-    from galerkin_transformer_tpu.models import SimpleTransformer
-    from galerkin_transformer_tpu.train.losses import WeightedL2Loss
-    from galerkin_transformer_tpu.train.schedule import adam_onecycle
-    from galerkin_transformer_tpu.train.steps import make_burgers_steps
-    from galerkin_transformer_tpu.utils import load_config
-
-    cfg = load_config("ex1_burgers")
-    cfg.update(n_hidden=32, num_encoder_layers=2, dim_feedforward=64,
-               freq_dim=16, fourier_modes=8, attention_type="galerkin")
-    model = SimpleTransformer.from_config(cfg)
+    model, tx, params, train_step, eval_step = tiny_burgers_steps
     n, bsz = 64, 8
     rng = np.random.default_rng(3)
     node = jnp.asarray(rng.standard_normal((bsz, n, 1)), jnp.float32)
@@ -116,13 +125,6 @@ def test_data_parallel_train_step_matches_single_device(mesh8):
     pos = jnp.linspace(0, 1, n)[None, :, None].repeat(bsz, 0)
     target = jnp.asarray(rng.standard_normal((bsz, n, 2)), jnp.float32)
     batch = dict(node=node, edge=edge, pos=pos, grid=pos, target=target)
-
-    params = model.init(jax.random.key(0), node, edge, pos, pos)["params"]
-    tx, _ = adam_onecycle(1e-3, 10)
-    loss = WeightedL2Loss(regularizer=True, h=1 / n, gamma=0.1)
-    metric = WeightedL2Loss(regularizer=False, h=1 / n)
-    train_step, eval_step = make_burgers_steps(model, loss, metric, tx,
-                                               donate=False)
 
     dp = make_mesh(data=8, seq=1)
     p_d = jax.device_put(params, replicate(dp))

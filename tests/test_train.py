@@ -235,6 +235,14 @@ def test_ns_rollout_step_runs():
     cfg = load_config("ex4_navier_stokes")
     cfg.update(n_hidden=16, num_encoder_layers=1, dim_feedforward=32,
                freq_dim=8, fourier_modes=4, node_feats=5)
+    # deterministic config throughout: one rollout compile serves both the
+    # smoke assertion and the mono side of the accumulation-equivalence
+    # check below (the dropout-active NS rollout is exercised end-to-end
+    # by the ex4 driver test in the slow tier); each BPTT compile is
+    # ~40 s on a single core, so this halves the test (VERDICT r4 item 9)
+    for k in list(cfg):
+        if "dropout" in str(k):
+            cfg[k] = 0.0
     model = FourierTransformer2DLite.from_config(cfg)
     b = next(iter(dl))
     params = model.init(jax.random.key(0), jnp.asarray(b["node"]), None,
@@ -253,21 +261,12 @@ def test_ns_rollout_step_runs():
 
     # accum_steps=2 on the rollout step: the BPTT loss is batch-mean
     # reduced inside WeightedL2Loss2d, so the microbatched update must
-    # match the monolithic one (ffn_dropout zeroed so the two paths'
-    # different key splits cannot diverge)
-    cfg_det = dict(cfg)
-    for k in list(cfg_det):
-        if "dropout" in k:
-            cfg_det[k] = 0.0
-    model = FourierTransformer2DLite.from_config(cfg_det)
-    train_step, _ = make_ns_steps(
-        model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.1),
-        WeightedL2Loss2d(regularizer=False, h=h), tx, time_steps=3)
+    # match the monolithic one
     train_step2, _ = make_ns_steps(
         model, WeightedL2Loss2d(regularizer=True, h=h, gamma=0.1),
         WeightedL2Loss2d(regularizer=False, h=h), tx, time_steps=3,
         accum_steps=2)
-    b2 = next(iter(DataLoader(ds, 2, drop_last=True)))
+    b2 = b
     p_mono, _, _, l_mono = train_step(
         *_reinit(model, tx, b2), b2, jax.random.key(0))
     p_micro, _, _, l_micro = train_step2(
