@@ -377,14 +377,21 @@ def main():
     f32_roof = {f"f32_{k}": v
                 for k, v in _roofline(step32, args32, dt32).items()}
     record.update(f32_roof)
-    # second workload: the ex2 2D train step (141²→43², d=128, bsz 4)
-    dt2d, step2d, args2d = bench_ours_2d()
+    # second workload: the ex2 2D train step (141²→43², d=128).  bsz 16 is
+    # the measured batch-scaling optimum (round-5 sweep,
+    # eval/ex2_batch_scaling.json: 8.89M pts/s at the reference's
+    # VRAM-capped bsz 4 → 11.5M at bsz 16; 32+ regresses); bsz 4 is kept
+    # as the reference-comparable point.
+    dt2d, step2d, args2d = bench_ours_2d(batch_size=16)
+    dt2d4, _, _ = bench_ours_2d(batch_size=4)
     rec2d = {
         "step_ms": round(dt2d * 1e3, 3),
-        "grid_points_per_s": round(4 * 141 * 141 / dt2d, 1),
-        "unit": "fine-grid points/s (141² fine / 43² coarse, bsz 4, full "
-                "train step, bf16 encoder + bf16 conv scalers + high "
-                "matmul; f32-scaler step was 10.20 ms)",
+        "grid_points_per_s": round(16 * 141 * 141 / dt2d, 1),
+        "unit": "fine-grid points/s (141² fine / 43² coarse, bsz 16 — the "
+                "batch-scaling optimum; full train step, bf16 encoder + "
+                "bf16 conv scalers + high matmul)",
+        "bsz4_step_ms": round(dt2d4 * 1e3, 3),
+        "bsz4_grid_points_per_s": round(4 * 141 * 141 / dt2d4, 1),
     }
     rec2d.update(_roofline(step2d, args2d, dt2d))
     record["ex2_darcy_2d"] = rec2d
