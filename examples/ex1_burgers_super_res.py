@@ -3,7 +3,11 @@
 
 Train at n=2048 (subsample 4), evaluate at n=8192 (subsample 1) with no
 fine-tuning — discretization invariance of the learned operator.
+``--train-subsample/--eval-subsample`` generalize the pair (reverse
+cell: ``--train-subsample 1 --eval-subsample 4`` trains at full
+resolution and evaluates zero-shot on the subsampled grid).
 """
+import argparse
 import os
 import sys
 
@@ -24,17 +28,28 @@ from galerkin_transformer_tpu.utils.args import get_args_1d
 from galerkin_transformer_tpu.utils.config import MODEL_PATH
 
 
+def _split_extra(argv):
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--train-subsample", type=int, default=4)
+    p.add_argument("--eval-subsample", type=int, default=1)
+    extra, rest = p.parse_known_args(argv)
+    return extra, rest
+
+
 def main(argv=None):
-    args = get_args_1d(argv)
+    extra, rest = _split_extra(sys.argv[1:] if argv is None else argv)
+    args = get_args_1d(rest)
     from galerkin_transformer_tpu.utils.jax_setup import setup
     setup(precision=None if args.fast_matmul else "highest")
     key = get_seed(args.seed)
 
-    train_dataset = BurgersDataset(subsample=4, train_data=True,
+    train_dataset = BurgersDataset(subsample=extra.train_subsample,
+                                   train_data=True,
                                    train_portion=0.5,
                                    data_path=args.data_path,
                                    n_samples_synthetic=args.n_samples)
-    valid_dataset = BurgersDataset(subsample=1, train_data=False,
+    valid_dataset = BurgersDataset(subsample=extra.eval_subsample,
+                                   train_data=False,
                                    valid_portion=100,
                                    data_path=args.data_path,
                                    n_samples_synthetic=args.n_samples)
@@ -54,8 +69,8 @@ def main(argv=None):
     print(f"params: {get_num_params(params)}  "
           f"train n={train_dataset.n_grid} eval n={valid_dataset.n_grid}")
 
-    h_train = (1 / 2 ** 13) * 4
-    h_eval = 1 / 2 ** 13
+    h_train = (1 / 2 ** 13) * extra.train_subsample
+    h_eval = (1 / 2 ** 13) * extra.eval_subsample
     total_steps = len(train_loader) * args.epochs
     tx, sched = adam_onecycle(args.lr, total_steps, grad_clip=0.999,
                               cycle_momentum=args.cycle_momentum)
@@ -76,7 +91,9 @@ def main(argv=None):
         rollback_on_spike=args.rollback_on_spike)
 
     val = validate_epoch(eval_step, best_params, valid_loader)
-    print(f"\nZero-shot super-res validation metric (n=8192): {val:.4e}")
+    print(f"\nZero-shot super-res validation metric "
+          f"(train n={train_dataset.n_grid} -> eval "
+          f"n={valid_dataset.n_grid}): {val:.4e}")
     return val
 
 
