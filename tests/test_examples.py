@@ -24,6 +24,20 @@ def test_ex1_driver_end_to_end(tmp_path, monkeypatch):
     assert val < 10.0  # it ran and produced a finite metric
 
 
+def test_super_res_driver_reverse(tmp_path, monkeypatch):
+    """Reverse super-res cell: train on the finer grid, eval zero-shot on
+    the coarser one (--train-subsample/--eval-subsample, round 5)."""
+    import importlib
+    import galerkin_transformer_tpu.utils.config as cfgmod
+    monkeypatch.setattr(cfgmod, "MODEL_PATH", str(tmp_path))
+    sr = importlib.import_module("ex1_burgers_super_res")
+    monkeypatch.setattr(sr, "MODEL_PATH", str(tmp_path))
+    val = sr.main(["--train-subsample", "16", "--eval-subsample", "32",
+                   "--epochs", "2", "--n-samples", "24",
+                   "--batch-size", "4", "--val-batch-size", "4"])
+    assert val == val and val < 10.0
+
+
 def test_ex4_driver_end_to_end(tmp_path, monkeypatch):
     import importlib
     import galerkin_transformer_tpu.utils.config as cfgmod
