@@ -39,6 +39,9 @@ step 500ep_data16x 10800 python examples/ex1_burgers.py \
   --attention-type galerkin --epochs 500 --lr 6e-4 --no-cycle-momentum \
   --rollback-on-spike 10 --epochs-per-dispatch 5 --n-samples 17184
 
+step super_res_reverse 3600 python examples/ex1_burgers_super_res.py \
+  --train-subsample 1 --eval-subsample 4 --score-dropout 0.1 --epochs 100
+
 step ex4_4096 14400 python "examples/ex4_navier_stokes_2+1d.py" \
   --n-samples 4096 --ema-decay 0.999 --epochs 100
 
@@ -48,8 +51,17 @@ step ex3_baseline_1024_150ep 14400 python examples/ex3_darcy_inv.py \
 
 step bench_r5 5400 python bench.py
 
-step ex3_baseline_8192 28800 python examples/ex3_darcy_inv.py \
-  --subsample-nodes 2 --subsample-attn 6 --noise 0.05 --n-samples 8192 \
-  --train-len 8192 --online-noise --ema-decay 0.999 --epochs 100
+# Deadline-guarded bonus cell: the round-end driver runs bench.py on this
+# single TPU and two concurrent TPU processes wedge — only start if at
+# least 2 h of budget remains, and cap the run to end 45 min early.
+DEADLINE=$(date -d "2026-08-20 03:00" +%s)
+BUDGET=$(( DEADLINE - $(date +%s) - 2700 ))
+if [ "$BUDGET" -ge 7200 ]; then
+  step ex3_baseline_8192 "$BUDGET" python examples/ex3_darcy_inv.py \
+    --subsample-nodes 2 --subsample-attn 6 --noise 0.05 --n-samples 8192 \
+    --train-len 8192 --online-noise --ema-decay 0.999 --epochs 100
+else
+  echo "skip ex3_baseline_8192: only ${BUDGET}s of TPU budget left"
+fi
 
 echo "r5 queue done ($(date +%H:%M:%S))"
