@@ -50,7 +50,7 @@ def microbatched_value_and_grad(forward_loss, accum_steps: int):
 
     def wrapped(params, batch, rng):
         bad = [f"{k}: {v.shape}" for k, v in batch.items()
-               if v.shape[0] % accum_steps]
+               if v is not None and v.shape[0] % accum_steps]
         if bad:  # trace-time check — free at runtime
             raise ValueError(
                 f"gradient accumulation needs the leading batch dim "
